@@ -1,0 +1,142 @@
+"""Pipeline configuration.
+
+``DedupConfig`` is the Spark-native equivalent of the cfg dict accepted by
+the reference's high-level pipeline (``lsh_hdc/cluster.py::HDClustering`` —
+see SURVEY.md §2.1 op 14): shingler options (span/skip/unique/kmin,
+word|char mode), signer selection (minhash|simhash) + signature width,
+LSH banding (bandwidth = rows per band, scheme), optional b-bit sketch
+filter, exact-Jaccard verification threshold, and min_support.  Extra
+fields (`pair_cap`, `anchor_fanout`, `drop_cap`, `salt_buckets`) configure
+the scale path (salted/capped hot-band handling, SURVEY.md §2.3 op 25)
+which has no reference counterpart because the reference is single-process.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+
+
+def get_threshold(r: int, b: int) -> float:
+    """Approximate Jaccard similarity at which the banding S-curve crosses
+    50% candidate probability: t ≈ (1/b)^(1/r).
+
+    Mirrors ``lsh_hdc/__init__.py::get_threshold`` [M] (MMDS ch.3 banding
+    analysis).
+    """
+    if r <= 0 or b <= 0:
+        raise ValueError("rows per band and band count must be positive")
+    return (1.0 / b) ** (1.0 / r)
+
+
+def get_bandwidth(width: int, threshold: float) -> int:
+    """Pick rows-per-band r (a divisor of ``width``) whose banding threshold
+    (1/b)^(1/r) with b = width/r is closest to ``threshold``.
+
+    Mirrors ``lsh_hdc/__init__.py::get_bandwidth`` [M].
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    best_r, best_err = 1, math.inf
+    for r in range(1, width + 1):
+        if width % r != 0:
+            continue
+        b = width // r
+        err = abs(get_threshold(r, b) - threshold)
+        if err < best_err:
+            best_r, best_err = r, err
+    return best_r
+
+
+def candidate_probability(s: float, r: int, b: int) -> float:
+    """P(two items with Jaccard s share >=1 band) = 1 - (1 - s^r)^b."""
+    return 1.0 - (1.0 - s**r) ** b
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the near-duplicate clustering pipeline.
+
+    Defaults follow the provisional parity config pinned in FIXTURES.md
+    (span=3 word shingles, width=12, bandwidth=3 => 4 bands x 3 rows,
+    scheme 'a', no sketch filter, min_support=1).
+    """
+
+    # ---- column bindings -------------------------------------------------
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    # ---- shingler (ops 2-4) ---------------------------------------------
+    shingle_mode: str = "word"  # "word" | "char"
+    span: int = 3               # n-gram window (tokens or chars)
+    skip: int = 0               # skip-gram stride - 1 (0 = contiguous)
+    unique: bool = True         # dedup shingles per doc
+    kmin: int = 1               # short docs still emit >=1 shingle (whole doc)
+
+    # ---- signer (ops 5-7) -------------------------------------------------
+    signer: str = "minhash"     # "minhash" | "simhash"
+    width: int = 12             # minhash functions, or simhash bit depth (<=64)
+
+    # ---- LSH banding (op 8) ----------------------------------------------
+    bandwidth: int = 3          # rows per band (r)
+    scheme: str = "a"           # 'a' = disjoint contiguous bands
+
+    # ---- sketch filter (ops 6, 10) ----------------------------------------
+    sketch_bits: int = 0        # 0 disables the b-bit sketch pre-filter
+    max_hamming: int = 3
+
+    # ---- verification + clustering (ops 11-13) ----------------------------
+    jaccard_threshold: float | None = None  # None -> get_threshold(r, b)
+    min_support: int = 1
+
+    # ---- determinism -------------------------------------------------------
+    seed: int = 0x5EED_1E5B
+
+    # ---- scale path (op 25): hot-band policy -------------------------------
+    pair_cap: int = 512         # bucket size above which full pair-gen stops
+    anchor_fanout: int = 4      # anchors per hot bucket (star fallback)
+    drop_cap: int = 100_000     # bucket size above which the band is dropped
+    salt_buckets: int = 16      # salt fanout for hot-bucket repartitioning
+
+    def __post_init__(self) -> None:
+        if self.shingle_mode not in ("word", "char"):
+            raise ValueError(f"shingle_mode must be word|char, got {self.shingle_mode}")
+        if self.signer not in ("minhash", "simhash"):
+            raise ValueError(f"signer must be minhash|simhash, got {self.signer}")
+        if self.scheme != "a":
+            raise NotImplementedError(
+                "only banding scheme 'a' (disjoint contiguous bands) is "
+                "implemented; reference scheme 'b<ramp>' is a recall booster "
+                "outside the pinned parity config (SURVEY.md §2.5.3)"
+            )
+        if self.signer == "simhash" and self.width > 64:
+            raise ValueError("simhash bit depth must be <= 64")
+        if self.width % self.bandwidth != 0:
+            raise ValueError(
+                f"bandwidth (rows per band) {self.bandwidth} must divide "
+                f"signature width {self.width}"
+            )
+        if self.span < 1 or self.skip < 0:
+            raise ValueError("span >= 1 and skip >= 0 required")
+
+    # ---- derived -----------------------------------------------------------
+    @property
+    def bands(self) -> int:
+        return self.width // self.bandwidth
+
+    @property
+    def resolved_jaccard_threshold(self) -> float:
+        if self.jaccard_threshold is not None:
+            return self.jaccard_threshold
+        return get_threshold(self.bandwidth, self.bands)
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+#: Provisional reference-parity config (FIXTURES.md; SURVEY.md §5.3) for the
+#: `documents` flagship input.
+PARITY = DedupConfig()
+
+#: Config bound to the production `clips` schema (BASELINE.json input_hint).
+CLIPS = DedupConfig(id_col="clip_id", text_col="transcript")

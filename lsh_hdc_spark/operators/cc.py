@@ -1,0 +1,124 @@
+"""Connected components via alternating large-star / small-star joins.
+
+Reference semantics: ``lsh_hdc/cluster.py::Cluster.get_clusters`` harvests a
+union-find forest (pymaptools UnionFind) built over all verified candidate
+pairs — clusters are the connected components of the edge graph
+(SURVEY.md §2.1 op 12).  A driver-side union-find cannot scale to 10^12
+nodes, so this module implements the alternating large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC 2014) as iterative DataFrame self-joins — exactly what the north rule
+mandates (BASELINE.json north_star).  Converges in O(log n) rounds; each
+round is two groupBy/join stages; lineage is truncated per round with
+``localCheckpoint`` so the plan does not grow (SURVEY.md §4.2).
+
+Output labels use cluster_id = min(id) of the component, which is
+order-insensitive and partition-count-invariant (SURVEY.md §2.5.4-5):
+reference cluster *sets* are compared, never id values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("src"),
+            F.least(F.col("mn"), F.col("u")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge towards the larger endpoint; connect each node's
+    smaller neighbors (and the node itself) to the minimum of them."""
+    d = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    nbr_edges = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("mn").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    self_edges = mins.select(F.col("u").alias("src"), F.col("mn").alias("dst"))
+    return nbr_edges.unionByName(self_edges).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive digest of an edge set for convergence checks."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, checkpoint: bool = True
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in `edges`; cluster_id is
+    the component's minimum node id.
+
+    `edges` needs columns (src, dst) of one orderable atomic type;
+    direction and duplication are irrelevant.  Nodes with no edges are not
+    emitted — callers coalesce missing labels to the node's own id.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # converged star graphs: every edge is (member, root), root = component min
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("cluster_id"))
+    return members.unionByName(roots).distinct()
+
+
+def assign_clusters(
+    ids: DataFrame, edges: DataFrame, id_col: str, min_support: int = 1
+) -> DataFrame:
+    """(id_col, cluster_id, cluster_size) for every input id.
+
+    Unlabeled nodes become singleton clusters of themselves.  Clusters with
+    fewer than `min_support` members get cluster_id NULL (noise suppression,
+    op 13) — matching the reference's min_support cfg semantics.
+    """
+    labels = connected_components(edges)
+    out = (
+        ids.select(id_col)
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    out = out.join(sizes, "cluster_id")
+    if min_support > 1:
+        out = out.withColumn(
+            "cluster_id",
+            F.when(F.col("cluster_size") >= min_support, F.col("cluster_id")),
+        )
+    return out.select(id_col, "cluster_id", "cluster_size")

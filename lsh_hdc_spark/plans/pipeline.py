@@ -1,0 +1,64 @@
+"""End-to-end near-duplicate clustering pipeline (op 14).
+
+Reference semantics: ``lsh_hdc/cluster.py::HDClustering.clusters_from_iter``
+wires normalize→shingle→sign→band→bucket→sketch/Jaccard-filter→union-find
+from a cfg dict (SURVEY.md §3.1).  Here the same wiring is a declarative
+DataFrame plan:
+
+    read -> [JVM codegen] shingle+hash -> [one Arrow UDF] sign/band
+         -> explode band keys -> [shuffle] bucket self-join (tiered/salted)
+         -> distinct pairs -> join-back shingles -> Jaccard verify
+         -> [iterative joins] connected components -> labels -> rollup
+
+Heavy payload columns (clips.bytes) never enter the plan — only
+(id, text) are read (column pruning pushes this into the parquet scan);
+the final output re-joins payload by id if the caller asks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import DedupConfig
+from ..functions.sign import signed
+from ..operators.cc import assign_clusters
+from ..operators.pairs import band_key_rows, bucket_stats, candidate_pairs, verify_pairs
+
+
+def dedup_edges(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified near-duplicate edge list (src, dst, jaccard)."""
+    s = signed(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(s, cfg)
+    return verify_pairs(pairs, s, cfg)
+
+
+def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id_col, cluster_id, cluster_size) for every input row.
+
+    cluster_id = min id of the near-duplicate component (deterministic,
+    partitioning-invariant); singletons are their own cluster; components
+    below cfg.min_support get NULL cluster_id.
+    """
+    edges = dedup_edges(df, cfg)
+    return assign_clusters(df, edges, cfg.id_col, cfg.min_support)
+
+
+def cluster_rollup(labels: DataFrame, id_col: str) -> DataFrame:
+    """(cluster_id, cluster_size, member_ids) for non-singleton clusters,
+    ordered largest-first — the flagship 'report duplicate clusters' query."""
+    return (
+        labels.where(F.col("cluster_size") >= 2)
+        .groupBy("cluster_id")
+        .agg(
+            F.first("cluster_size").alias("cluster_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
+def pipeline_stats(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Bucket-tier census for the run (includes hot/dropped band counts)."""
+    return bucket_stats(band_key_rows(signed(df, cfg), cfg), cfg)
