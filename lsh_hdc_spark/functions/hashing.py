@@ -20,16 +20,19 @@ _M2: np.uint64 = np.uint64(0x94D049BB133111EB)
 
 
 def mix64(z: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
-    """splitmix64 finalizer; input/output uint64 (arrays or scalars)."""
-    z = (z ^ (z >> np.uint64(30))) * _M1
-    z = (z ^ (z >> np.uint64(27))) * _M2
-    return z ^ (z >> np.uint64(31))
+    """splitmix64 finalizer; input/output uint64 (arrays or scalars).
+    uint64 multiply wraparound is intentional (mod-2^64 arithmetic)."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * _M1
+        z = (z ^ (z >> np.uint64(27))) * _M2
+        return z ^ (z >> np.uint64(31))
 
 
 def hash_seeds(n: int, seed: int) -> np.ndarray:
     """n independent uint64 stream seeds derived from one integer seed."""
     ks = np.arange(1, n + 1, dtype=np.uint64)
-    return mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + ks * GOLDEN)
+    with np.errstate(over="ignore"):
+        return mix64(np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + ks * GOLDEN)
 
 
 def as_u64(a: np.ndarray) -> np.ndarray:

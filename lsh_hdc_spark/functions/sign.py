@@ -113,55 +113,47 @@ def _bit_slices(v: np.ndarray, r: int, b: int, band_seeds: np.ndarray) -> np.nda
     return keys
 
 
-def make_signature_udf(cfg: DedupConfig):
-    """pandas_udf: array<bigint> hashed shingles -> struct(sig, sketch,
-    band_keys).  All parameters are captured as plain ints/ndarrays (cheap
-    closure pickling)."""
+def sign_batch(hs: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
+    """Vectorized numpy core: Series of int64 shingle-hash arrays ->
+    DataFrame(sig, sketch, band_keys).  Shared by the mapInPandas stage and
+    by unit tests."""
     width, r, b = cfg.width, cfg.bandwidth, cfg.bands
-    signer = cfg.signer
     kseeds = hash_seeds(width, cfg.seed)
     band_seeds = hash_seeds(b, cfg.seed ^ 0xBA9D5EED)
 
-    @F.pandas_udf(_SIGN_SCHEMA)
-    def _sign(hs: pd.Series) -> pd.DataFrame:
-        n = len(hs)
-        flat, lens, offsets = _ragged(hs)
-        nz = lens > 0
-        starts_nz = offsets[nz]
-        sig_col = np.empty(n, dtype=object)
-        keys_col = np.empty(n, dtype=object)
-        sketch_col = np.zeros(n, dtype=np.int64)
+    n = len(hs)
+    flat, lens, offsets = _ragged(hs)
+    nz = lens > 0
+    starts_nz = offsets[nz]
+    sig_col = np.empty(n, dtype=object)
+    keys_col = np.empty(n, dtype=object)
+    sketch_col = np.zeros(n, dtype=np.int64)
 
-        if starts_nz.size:
-            if signer == "minhash":
-                sigm = _minhash_matrix(flat, starts_nz, kseeds)
-                keys = _band_keys(sigm, r, band_seeds)
-                nbits = min(width, 64)
-                parity = (sigm[:, :nbits] & np.uint64(1)).astype(np.uint64)
-                sketch = (
-                    parity << np.arange(nbits, dtype=np.uint64)[None, :]
-                ).sum(axis=1, dtype=np.uint64)
-            else:  # simhash
-                sh = _simhash_vec(flat, starts_nz, lens[nz], width)
-                sigm = sh[:, None]
-                keys = _bit_slices(sh, r, b, band_seeds)
-                sketch = sh
-            sig_i64 = as_i64(sigm.reshape(-1)).reshape(sigm.shape)
-            keys_i64 = as_i64(keys.reshape(-1)).reshape(keys.shape)
-            sk_i64 = as_i64(sketch)
-            ixs = np.flatnonzero(nz)
-            for row, i in enumerate(ixs):
-                sig_col[i] = sig_i64[row]
-                keys_col[i] = keys_i64[row]
-                sketch_col[i] = sk_i64[row]
-        for i in np.flatnonzero(~nz):
-            sig_col[i] = None
-            keys_col[i] = None
-        return pd.DataFrame(
-            {"sig": sig_col, "sketch": sketch_col, "band_keys": keys_col}
-        )
-
-    return _sign
+    if starts_nz.size:
+        if cfg.signer == "minhash":
+            sigm = _minhash_matrix(flat, starts_nz, kseeds)
+            keys = _band_keys(sigm, r, band_seeds)
+            nbits = min(width, 64)
+            parity = (sigm[:, :nbits] & np.uint64(1)).astype(np.uint64)
+            sketch = (parity << np.arange(nbits, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        else:  # simhash
+            sh = _simhash_vec(flat, starts_nz, lens[nz], width)
+            sigm = sh[:, None]
+            keys = _bit_slices(sh, r, b, band_seeds)
+            sketch = sh
+        sig_i64 = as_i64(sigm.reshape(-1)).reshape(sigm.shape)
+        keys_i64 = as_i64(keys.reshape(-1)).reshape(keys.shape)
+        sk_i64 = as_i64(sketch)
+        for row, i in enumerate(np.flatnonzero(nz)):
+            sig_col[i] = sig_i64[row]
+            keys_col[i] = keys_i64[row]
+            sketch_col[i] = sk_i64[row]
+    for i in np.flatnonzero(~nz):
+        sig_col[i] = None
+        keys_col[i] = None
+    return pd.DataFrame({"sig": sig_col, "sketch": sketch_col, "band_keys": keys_col})
 
 
 def signed(df: DataFrame, cfg: DedupConfig, shingles: Column | None = None) -> DataFrame:
@@ -171,15 +163,24 @@ def signed(df: DataFrame, cfg: DedupConfig, shingles: Column | None = None) -> D
     The text column is dropped immediately after shingling and heavy payload
     columns (e.g. clips.bytes) are never selected — at 10^12-row scale the
     binary column must not enter any shuffle (SURVEY.md §4.2).
+
+    Implementation note: the signing runs in ``mapInPandas`` (its own
+    MapInPandas plan node) rather than a pandas_udf column expression:
+    downstream ``explode(band_keys)`` would otherwise collapse the Python
+    UDF into a Generate node, which Spark cannot evaluate (internal error
+    observed on 4.1.2).  Cost is identical — one Arrow hop per batch.
     """
     sh = shingles if shingles is not None else shingles_for(cfg)
-    sign_udf = make_signature_udf(cfg)
     base = df.select(F.col(cfg.id_col), hashed_shingles(sh).alias("shingles_h"))
-    out = base.withColumn("_s", sign_udf(F.col("shingles_h")))
-    return out.select(
-        cfg.id_col,
-        "shingles_h",
-        F.col("_s.sig").alias("sig"),
-        F.col("_s.sketch").alias("sketch"),
-        F.col("_s.band_keys").alias("band_keys"),
+    out_schema = T.StructType(
+        list(base.schema.fields) + list(_SIGN_SCHEMA.fields)
     )
+
+    def _map(batches):
+        for pdf in batches:
+            res = sign_batch(pdf["shingles_h"], cfg)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), res.reset_index(drop=True)], axis=1
+            )
+
+    return base.mapInPandas(_map, out_schema)

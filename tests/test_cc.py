@@ -1,0 +1,72 @@
+"""Connected-components property tests: the large-star/small-star DataFrame
+implementation must agree with a trivially-correct union-find on random
+graphs, and with hand-built cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_hdc_spark.operators.cc import assign_clusters, connected_components
+from ref_oracle import UnionFind
+
+
+def _uf_labels(n_nodes, edges):
+    uf = UnionFind()
+    for i in range(n_nodes):
+        uf.find(i)
+    for a, b in edges:
+        uf.union(a, b)
+    return {i: uf.find(i) for i in range(n_nodes)}
+
+
+def _cc_labels(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_cc_matches_union_find_random_graphs(spark, seed):
+    rng = np.random.default_rng(seed)
+    n, m = 80, 70
+    edges = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_labels(n, edges)
+    got = _cc_labels(spark, edges)
+    nodes_with_edges = {x for e in edges for x in e}
+    for i in nodes_with_edges:
+        assert got[i] == want[i], f"node {i}: {got[i]} != {want[i]}"
+
+
+def test_cc_long_chain(spark):
+    # worst case for naive propagation: a path graph; star-joins converge in O(log n)
+    edges = [(i, i + 1) for i in range(60)]
+    got = _cc_labels(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
+def test_cc_two_components_and_duplicate_edges(spark):
+    edges = [(5, 1), (1, 5), (1, 3), (10, 20), (20, 10), (20, 30), (30, 10)]
+    got = _cc_labels(spark, edges)
+    assert got[1] == got[3] == got[5] == 1
+    assert got[10] == got[20] == got[30] == 10
+
+
+def test_cc_string_ids(spark):
+    df = spark.createDataFrame([("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_assign_clusters_singletons_and_min_support(spark):
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (2, 3), (3, 4)], "src long, dst long")
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in assign_clusters(ids, edges, "doc_id").collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 3) and out[4] == (2, 3)
+    assert out[5] == (5, 1)  # isolated node = singleton of itself
+
+    out3 = {r.doc_id: r.cluster_id
+            for r in assign_clusters(ids, edges, "doc_id", min_support=3).collect()}
+    assert out3[2] == 2 and out3[0] is None and out3[5] is None

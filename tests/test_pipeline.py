@@ -1,0 +1,76 @@
+"""End-to-end pipeline tests on the labeled corpus-B fixture: planted
+duplicate families co-cluster, singletons stay apart, determinism across
+partitionings (SURVEY.md §5.2.7)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures_gen import docs_labeled
+from lsh_hdc_spark.config import DedupConfig
+from lsh_hdc_spark.plans.pipeline import cluster_rollup, run_pipeline
+from ref_oracle import dup_pairs
+
+
+CFG = DedupConfig(id_col="id", text_col="content")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = docs_labeled(n_families=40, n_singletons=120, seed=42)
+    df = spark.createDataFrame(rows, "id string, content string, family int")
+    return rows, df
+
+
+@pytest.fixture(scope="module")
+def predicted(corpus):
+    _, df = corpus
+    labels = run_pipeline(df, CFG)
+    return {r.id: r.cluster_id for r in labels.collect()}
+
+
+def test_every_row_labeled(corpus, predicted):
+    rows, _ = corpus
+    assert set(predicted) == {r[0] for r in rows}
+    assert all(c is not None for c in predicted.values())
+
+
+def test_family_recall_and_precision(corpus, predicted):
+    rows, _ = corpus
+    truth = {rid: (fam if fam >= 0 else f"uniq_{rid}") for rid, _, fam in rows}
+    true_pairs = dup_pairs(truth)
+    pred_pairs = dup_pairs(predicted)
+    tp = len(true_pairs & pred_pairs)
+    recall = tp / len(true_pairs)
+    precision = tp / len(pred_pairs)
+    # ground-truth recall is bounded by the banding S-curve (heavier
+    # perturbations sit near the threshold); the >=0.99 parity gate vs the
+    # reference oracle lives in test_parity.py
+    assert recall >= 0.85, f"recall {recall:.3f}"
+    assert precision >= 0.95, f"precision {precision:.3f}"
+
+
+def test_identical_copies_always_cocluster(corpus, predicted):
+    rows, _ = corpus
+    by_text = {}
+    for rid, text, _ in rows:
+        by_text.setdefault(text, []).append(rid)
+    for ids in by_text.values():
+        assert len({predicted[i] for i in ids}) == 1
+
+
+def test_deterministic_across_partitioning(corpus):
+    _, df = corpus
+    l1 = sorted(map(tuple, run_pipeline(df.repartition(2), CFG).collect()))
+    l2 = sorted(map(tuple, run_pipeline(df.repartition(17), CFG).collect()))
+    assert l1 == l2
+
+
+def test_rollup_shape(corpus):
+    _, df = corpus
+    roll = cluster_rollup(run_pipeline(df, CFG), "id")
+    top = roll.collect()
+    assert top, "expected non-singleton clusters"
+    assert top[0].cluster_size == max(r.cluster_size for r in top)
+    for r in top:
+        assert r.cluster_size == len(r.member_ids)
+        assert r.cluster_id == min(r.member_ids)
