@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship near-dup clustering on sf0.001 documents.
+queries()      — one DataFrame-producing callable per implemented operator
+                 (SURVEY.md §2); each takes (spark, sf_dir).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for the SQL-expressible subset;
+                 MinHash/banding/CC-over-LSH and ANN entries are rows-only
+                 by design (hash families and approximate retrieval are not
+                 portable SQL; see SURVEY.md §5.2.4).
+
+Column names/types are aligned pairwise between Spark and SQL (driver
+compares order-insensitive value hashes after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +17,306 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lsh_hdc_spark.config import DedupConfig
+from lsh_hdc_spark.functions.text import TOKEN_SPLIT_RE, shingles_for, tokenize
+from lsh_hdc_spark.functions.textstats import LANG_PROFILES, doc_stats
+from lsh_hdc_spark.functions.sign import signed
+from lsh_hdc_spark.operators.cc import connected_components
+from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
+from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk
+from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs, shingle_rows
+from lsh_hdc_spark.operators.pairs import band_key_rows, candidate_pairs
+from lsh_hdc_spark.plans.pipeline import cluster_rollup, run_pipeline
+
+CFG = DedupConfig()  # parity config: span=3 word shingles, w=12, r=3, b=4
+#: exact thresholds shared verbatim between Spark filters and oracle SQL
+T_PARITY = repr(CFG.resolved_jaccard_threshold)
+T_PAIRS = "0.4"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cluster near-duplicate documents at sf0.001, report
+    duplicate clusters largest-first."""
+    df = _docs(spark, "/root/testdata/sf0.001")
+    return cluster_rollup(run_pipeline(df, CFG), CFG.id_col)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_dedup_clusters(spark, sf_dir):
+    labels = run_pipeline(_docs(spark, sf_dir), CFG)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _q_dedup_rollup(spark, sf_dir):
+    return cluster_rollup(run_pipeline(_docs(spark, sf_dir), CFG), CFG.id_col)
+
+
+def _q_dedup_clusters_exact(spark, sf_dir):
+    """Exact-Jaccard pair graph -> connected components (value-checked
+    against a DuckDB recursive CTE: this is the CC operator's oracle)."""
+    df = _docs(spark, sf_dir)
+    edges = exact_jaccard_pairs(df, CFG, threshold=float(T_PARITY)).select("src", "dst")
+    labels = connected_components(edges)
+    return (
+        df.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def _q_shingles(spark, sf_dir):
+    return shingle_rows(_docs(spark, sf_dir), CFG)
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    out = exact_jaccard_pairs(_docs(spark, sf_dir), CFG, threshold=float(T_PAIRS))
+    return out.select(
+        "src",
+        "dst",
+        F.col("inter").cast("long").alias("n_inter"),
+        F.col("union").cast("long").alias("n_union"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_doc_stats(spark, sf_dir):
+    st = doc_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return st.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+        "stopword_ratio",
+        "alpha_ratio",
+    )
+
+
+def _q_fingerprints(spark, sf_dir):
+    return with_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    g = exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text")
+    return g.select("fingerprint", F.col("n_docs").cast("long").alias("n_docs"), "keeper")
+
+
+def _q_lang_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.avg("n_chars").alias("avg_chars"))
+        .select("lang", "n_docs", F.round("avg_chars", 6).alias("avg_chars"))
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    s = signed(_docs(spark, sf_dir), CFG)
+    return s.select("doc_id", "sig", "sketch")
+
+
+def _q_band_keys(spark, sf_dir):
+    return band_key_rows(signed(_docs(spark, sf_dir), CFG), CFG)
+
+
+def _q_candidate_pairs_lsh(spark, sf_dir):
+    return candidate_pairs(signed(_docs(spark, sf_dir), CFG), CFG)
+
+
+def _q_simhash_sketch(spark, sf_dir):
+    cfg = DedupConfig(signer="simhash", width=64, bandwidth=16)
+    return signed(_docs(spark, sf_dir), cfg).select("doc_id", "sketch")
+
+
+def _q_knn_cosine(spark, sf_dir):
+    return cosine_topk(_embs(spark, sf_dir), k=5).select(
+        "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_cosine(spark, sf_dir):
+    return ann_topk(_embs(spark, sf_dir), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_rollup": _q_dedup_rollup,
+        "dedup_clusters_exact": _q_dedup_clusters_exact,
+        "shingles": _q_shingles,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "doc_stats": _q_doc_stats,
+        "fingerprints": _q_fingerprints,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "lang_counts": _q_lang_counts,
+        "top_terms": _q_top_terms,
+        "minhash_signatures": _q_minhash_signatures,
+        "band_keys": _q_band_keys,
+        "candidate_pairs_lsh": _q_candidate_pairs_lsh,
+        "simhash_sketch": _q_simhash_sketch,
+        "knn_cosine": _q_knn_cosine,
+        "ann_cosine": _q_ann_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+#: tokenization shared by every text oracle — keep in sync with
+#: lsh_hdc_spark/functions/text.py::tokenize (regex TOKEN_SPLIT_RE)
+_TOKS = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS ts
+  FROM documents
+)
+"""
+
+#: word 3-gram shingles with the short-doc fallback (span=3, unique=true,
+#: kmin=1) — mirrors Shingler semantics (SURVEY.md §2.5.1)
+_SHINGLES = f"""
+{_TOKS},
+sh_idx AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+  FROM toks WHERE len(ts) >= 3
+),
+shingles AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', ts[i], ts[i+1], ts[i+2]) AS shingle
+  FROM sh_idx
+  UNION ALL
+  SELECT doc_id, array_to_string(ts, ' ') AS shingle
+  FROM toks WHERE len(ts) BETWEEN 1 AND 2
+)
+"""
+
+_PAIR_CORE = f"""
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT src, dst, n_inter, sa.sz + sb.sz - n_inter AS n_union,
+         n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = src
+  JOIN sizes sb ON sb.doc_id = dst
+)
+"""
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "shingles": f"WITH {_SHINGLES} SELECT doc_id, shingle FROM shingles",
+        "jaccard_pairs": f"""
+            WITH {_SHINGLES}, {_PAIR_CORE}
+            SELECT src, dst, n_inter, n_union, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= {T_PAIRS}
+        """,
+        "dedup_clusters_exact": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
+            edges AS (
+              SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
+              UNION ALL
+              SELECT dst, src FROM pairs WHERE jaccard >= {T_PARITY}
+            ),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+        """,
+        "doc_stats": f"""
+            WITH {_TOKS}
+            SELECT d.doc_id,
+                   length(d.text) AS n_chars,
+                   len(ts) AS n_tokens,
+                   len(list_distinct(ts)) AS n_distinct_tokens,
+                   round(coalesce(list_sum([length(t) for t in ts]), 0)::DOUBLE
+                         / greatest(len(ts), 1), 6) AS avg_token_len,
+                   round(len(list_filter(ts, t -> list_contains({_STOPWORDS_SQL}, t)))::DOUBLE
+                         / greatest(len(ts), 1), 6) AS stopword_ratio,
+                   round(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
+                         / greatest(length(d.text), 1), 6) AS alpha_ratio
+            FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dup_groups": r"""
+            SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+            FROM (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+                  FROM documents)
+            GROUP BY fingerprint HAVING count(*) >= 2
+        """,
+        "lang_counts": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_terms": f"""
+            WITH {_TOKS}
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(ts) AS token FROM toks)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "knn_cosine": """
+            WITH unit AS (
+              SELECT vec_id,
+                     [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))
+                      for x in embedding::DOUBLE[]] AS u
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.u, b.u) AS cos_raw
+              FROM unit a JOIN unit b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 5
+        """,
+    }

@@ -1,0 +1,91 @@
+"""Text analysis columns for training-data pipelines: token counts, quality
+scoring, language-ID heuristic — all pure Catalyst expressions (JVM codegen,
+SQL-oracle-able).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+#: tiny public stopword profiles for the language-ID heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est", "en", "que"],
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(F.lower(text)))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = tokenize(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def doc_stats(
+    df: DataFrame, id_col: str, text_col: str, stopwords: list[str] | None = None
+) -> DataFrame:
+    """(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    stopword_ratio, alpha_ratio) — the quality-scoring feature row."""
+    text = F.col(text_col)
+    toks = tokenize(F.lower(text))
+    n_tok = F.greatest(F.size(toks), F.lit(0))
+    total_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    sw = stopwords if stopwords is not None else LANG_PROFILES["en"]
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            total_tok_len.cast("double")
+            / F.greatest(n_tok, F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+        F.round(stopword_ratio(text, sw), 6).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast("double")
+            / F.greatest(F.length(text), F.lit(1)).cast("double"),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+def quality_score(df_stats: DataFrame) -> DataFrame:
+    """Crude composite quality score in [0,1] from doc_stats output:
+    favors mid-length docs with diverse tokens and sane alpha ratio."""
+    length_ok = F.when(
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), F.lit(1.0)
+    ).otherwise(0.3)
+    diversity = F.least(
+        F.col("n_distinct_tokens").cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double") * 2,
+        F.lit(1.0),
+    )
+    return df_stats.withColumn(
+        "quality",
+        F.round(length_ok * 0.4 + diversity * 0.3 + F.col("alpha_ratio") * 0.3, 6),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language-ID: argmax stopword-hit ratio across profiles;
+    'und' (undetermined) when nothing matches."""
+    toks = tokenize(F.lower(text))
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        sw = F.array(*[F.lit(s) for s in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
