@@ -59,6 +59,24 @@ def cluster_rollup(labels: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def run_pipeline_clips(df: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Full clips flow: dedup on (clip_id, transcript) only, then re-join
+    cluster labels onto the COMPLETE rows (bytes included) for the final
+    output table.
+
+    The binary column never enters the dedup plan (pruned at the scan) and
+    touches exactly one join at the end.  At 10^12-clip scale that final
+    join should be shuffle-free on the bytes side: store the source table
+    bucketed/partitioned by clip_id (Iceberg storage-partitioned join) so
+    only the small labels side moves.
+    """
+    from ..config import CLIPS
+
+    cfg = cfg or CLIPS
+    labels = run_pipeline(df.select(cfg.id_col, cfg.text_col), cfg)
+    return df.join(labels, cfg.id_col)
+
+
 def pipeline_stats(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Bucket-tier census for the run (includes hot/dropped band counts)."""
     return bucket_stats(band_key_rows(signed(df, cfg), cfg), cfg)

@@ -1,0 +1,128 @@
+"""Deterministic synthesizer for the production `clips` table shape
+(BASELINE.json input_hint):
+
+    clips(clip_id: string, bytes: binary, sr_hz: int, dur_ms: int,
+          codec: string, transcript: string)
+
+FIXTURES.md §A semantics: duplicate families share perturbed transcripts and
+the duplicates' PCM is the family original's PCM plus deterministic -40 dB
+noise (keeps pairs acoustically "same" while exercising the SNR math).
+
+Generation is DISTRIBUTED (spark.range -> mapInPandas) and a pure function
+of (seed, row index): every member's PCM is derivable from its family seed
+alone, so a duplicate can be synthesized without seeing the original's row —
+no shuffle, no driver-side loop, scales to any n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.audio import pcm16_to_wav
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+
+_VOCAB = [f"tok{i:02d}" for i in range(64)]
+FAMILY_SIZE = 4  # 1 original + 3 near-duplicates
+DUP_FRACTION = 0.7  # fraction of rows that belong to families
+
+
+def _family_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """2-4 summed sine tones, amplitude 0.5, int16."""
+    n = sr_hz * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    n_tones = int(rng.integers(2, 5))
+    sig = np.zeros(n)
+    for _ in range(n_tones):
+        f = float(rng.uniform(80.0, min(4000.0, sr_hz / 2 - 100)))
+        ph = float(rng.uniform(0, 2 * np.pi))
+        sig += np.sin(2 * np.pi * f * t + ph)
+    sig *= 0.5 / n_tones
+    return np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+
+
+def _family_transcript(rng: np.random.Generator) -> list[str]:
+    length = int(rng.integers(18, 40))
+    probs = 1.0 / np.arange(1, 65)
+    probs /= probs.sum()
+    return [_VOCAB[i] for i in rng.choice(64, size=length, p=probs)]
+
+
+def _perturb(toks: list[str], k: int, rng: np.random.Generator) -> list[str]:
+    p = list(toks)
+    op = k % 4
+    pos = int(rng.integers(0, len(p)))
+    if op == 0:
+        p[pos] = _VOCAB[int(rng.integers(0, 64))]
+    elif op == 1:
+        del p[pos]
+    elif op == 2:
+        p.insert(pos, p[pos])
+    # op == 3: identical copy
+    return p
+
+
+def _synth_row(i: int, n_family_rows: int, seed: int) -> tuple:
+    if i < n_family_rows:
+        fam, k = divmod(i, FAMILY_SIZE)
+        fam_rng = np.random.default_rng([seed, fam])
+        sr = 16000 if fam_rng.random() < 0.9 else 8000
+        dur = int(fam_rng.integers(200, 1000))
+        pcm = _family_pcm(fam_rng, sr, dur)
+        toks = _family_transcript(fam_rng)
+        if k > 0:  # duplicate: original PCM + deterministic -40 dB noise
+            m_rng = np.random.default_rng([seed, fam, k])
+            rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) or 1.0
+            noise = m_rng.normal(0.0, rms * 10 ** (-40 / 20), size=pcm.size)
+            pcm = np.clip(pcm.astype(np.float64) + noise, -32768, 32767).astype(
+                np.int16
+            )
+            toks = _perturb(toks, k - 1, m_rng)
+    else:  # singleton
+        s_rng = np.random.default_rng([seed, 0x5150, i])
+        sr = 16000 if s_rng.random() < 0.9 else 8000
+        dur = int(s_rng.integers(200, 1000))
+        pcm = _family_pcm(s_rng, sr, dur)
+        toks = _family_transcript(s_rng)
+    return (
+        f"clip{i:08d}",
+        pcm16_to_wav(pcm, sr),
+        sr,
+        dur,
+        "pcm_s16le",
+        " ".join(toks),
+    )
+
+
+def synth_clips(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic clips table of n rows.
+
+    ~DUP_FRACTION of rows form FAMILY_SIZE-member near-duplicate families
+    (family id = row_index // FAMILY_SIZE); the rest are singletons.
+    """
+    n_family_rows = (int(n * DUP_FRACTION) // FAMILY_SIZE) * FAMILY_SIZE
+    base = spark.range(0, n, numPartitions=partitions)
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = [_synth_row(int(i), n_family_rows, seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+            )
+
+    return base.mapInPandas(_gen, CLIPS_SCHEMA)
+
+
+def true_family(clip_index: int, n: int) -> int:
+    """Ground-truth family of a synthesized clip (for recall tests):
+    families get their id, singletons get -1."""
+    n_family_rows = (int(n * DUP_FRACTION) // FAMILY_SIZE) * FAMILY_SIZE
+    return clip_index // FAMILY_SIZE if clip_index < n_family_rows else -1
