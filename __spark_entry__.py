@@ -28,6 +28,7 @@ from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
 from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk
 from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs, shingle_rows
 from lsh_hdc_spark.operators.pairs import band_key_rows, candidate_pairs
+from lsh_hdc_spark.operators.substring import substring_pairs
 from lsh_hdc_spark.plans.pipeline import cluster_rollup, run_pipeline
 
 CFG = DedupConfig()  # parity config: span=3 word shingles, w=12, r=3, b=4
@@ -160,6 +161,15 @@ def _q_simhash_sketch(spark, sf_dir):
     return signed(_docs(spark, sf_dir), cfg).select("doc_id", "sketch")
 
 
+def _q_substring_pairs(spark, sf_dir):
+    """Doc pairs sharing an exact >=32-char common substring (winnowing
+    candidates + suffix-array LCS verify); oracle: brute-force 32-gram
+    self-join — equivalent because sharing a >=L substring iff sharing an
+    L-gram."""
+    out = substring_pairs(_docs(spark, sf_dir), "doc_id", "text", min_len=32)
+    return out.select("src", "dst")
+
+
 def _q_knn_cosine(spark, sf_dir):
     return cosine_topk(_embs(spark, sf_dir), k=5).select(
         "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -186,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_keys": _q_band_keys,
         "candidate_pairs_lsh": _q_candidate_pairs_lsh,
         "simhash_sketch": _q_simhash_sketch,
+        "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
         "ann_cosine": _q_ann_cosine,
     }
@@ -300,6 +311,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n
             FROM (SELECT unnest(ts) AS token FROM toks)
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "substring_pairs": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(t, i, 32) AS g
+              FROM norm, unnest(range(1, length(t) - 30)) AS u(i)
+              WHERE length(t) >= 32
+            )
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
         "knn_cosine": """
             WITH unit AS (

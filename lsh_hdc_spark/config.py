@@ -89,6 +89,12 @@ class DedupConfig:
     jaccard_threshold: float | None = None  # None -> get_threshold(r, b)
     min_support: int = 1
 
+    # ---- substring pass (op 23) --------------------------------------------
+    #: when set, doc pairs sharing an exact common substring of this length
+    #: are OR-merged into the edge list before clustering (catches near-
+    #: containment that shingle-Jaccard misses); None disables the pass
+    substring_min_len: int | None = None
+
     # ---- determinism -------------------------------------------------------
     seed: int = 0x5EED_1E5B
 

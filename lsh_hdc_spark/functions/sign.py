@@ -81,13 +81,12 @@ def _simhash_vec(
     bits = np.unpackbits(
         flat.view(np.uint8).reshape(flat.size, 8), axis=1, bitorder="little"
     )  # (N, 64) of 0/1
-    counts = np.add.reduceat(bits.astype(np.int64), starts_nz, axis=0)
-    maj = (2 * counts >= lens_nz[:, None]).astype(np.uint64)  # (n, 64)
+    counts = np.add.reduceat(bits, starts_nz, axis=0, dtype=np.int64)
+    maj = 2 * counts >= lens_nz[:, None]  # (n, 64) bool majority vote
     if bit_depth < 64:
-        maj[:, bit_depth:] = 0
-    return (maj << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+        maj[:, bit_depth:] = False
+    packed = np.packbits(maj, axis=1, bitorder="little")  # (n, 8) bytes
+    return np.ascontiguousarray(packed).view(np.uint64).reshape(-1)
 
 
 def _band_keys(sig: np.ndarray, r: int, band_seeds: np.ndarray) -> np.ndarray:

@@ -1,0 +1,249 @@
+"""Substring-duplicate pass (op 23, SURVEY.md §2.3): catch exact
+near-containment that shingle-Jaccard misses (long shared substrings inside
+otherwise-different documents — Lee et al., ACL 2022 semantics).
+
+Not present in the reference library; mandated by BASELINE.json north_star
+("a suffix-array-based substring-duplicate pass catches exact
+near-containment the MinHash stage misses").
+
+Distributed design (a monolithic corpus suffix array does not shard):
+
+ 1. **Candidate generation — winnowing** (Schleimer/Wilkerson/Aiken 2003):
+    per document, hash all k-grams (rolling polynomial hash, numpy), then
+    keep the minimum hash of every sliding window of w = min_len - k + 1
+    consecutive k-grams (rightmost on ties).  THEOREM: two documents
+    sharing a common substring of length >= min_len share at least one
+    selected fingerprint — recall is guaranteed, with ~2/(w+1) of positions
+    emitted instead of all of them.  Fingerprints shuffle by hash;
+    candidate pairs come from a bucket self-join with the same hot-bucket
+    cap policy as the LSH stage.
+
+ 2. **Verification — suffix array**: for each candidate pair, the exact
+    longest common substring is computed from the suffix array (prefix-
+    doubling construction) + Kasai LCP of the two concatenated documents;
+    pairs with LCS >= min_len are emitted with their exact match length.
+    Runs batched inside mapInPandas; candidates are a tiny fraction of the
+    corpus, so the per-pair O(n log n) cost is off the critical path.
+
+Both stages are deterministic pure functions of the text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BASE = np.uint64(1000003)
+_K_DEFAULT = 16
+
+
+def _norm_text_col(text):
+    """Shared normalization: lowercase, collapse whitespace runs."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def _rolling_kgram_hashes(codes: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hashes of all k-grams of a codepoint array."""
+    n = codes.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    # H[i] = sum_{j<k} c[i+j] * BASE^(k-1-j) mod 2^64 — k vectorized passes
+    with np.errstate(over="ignore"):
+        c = codes.astype(np.uint64)
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += c[j : n - k + 1 + j] * _BASE ** np.uint64(k - 1 - j)
+    return acc
+
+
+def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Indices of winnowed fingerprints: rightmost minimum of each w-window
+    (dedup'd).  Guarantees: every window contributes one index."""
+    m = hashes.size
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= w:
+        return np.array([int(np.flatnonzero(hashes == hashes.min())[-1])])
+    # sliding window min via stride tricks (w windows is fine at doc scale)
+    sw = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost argmin: reverse, argmin, map back
+    rev = sw[:, ::-1]
+    right_argmin = w - 1 - rev.argmin(axis=1)
+    picks = np.arange(sw.shape[0]) + right_argmin
+    return np.unique(picks)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 64,
+    k: int = _K_DEFAULT,
+) -> DataFrame:
+    """(id, pos, fp): winnowed k-gram fingerprints of the normalized text.
+    Any >=min_len common substring between two docs yields a shared fp."""
+    w = min_len - k + 1
+    if w < 1:
+        raise ValueError("min_len must be >= k")
+    base = df.select(F.col(id_col), _norm_text_col(F.col(text_col)).alias("_t"))
+    out_schema = f"{base.schema[id_col].dataType.simpleString()}"
+    schema = f"{id_col} {out_schema}, pos long, fp long"
+
+    def _gen(batches):
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for iid, t in zip(pdf[id_col], pdf["_t"]):
+                if t is None:
+                    continue
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                hs = _rolling_kgram_hashes(codes, k)
+                idx = _winnow(hs, w)
+                if idx.size == 0:
+                    continue
+                ids.extend([iid] * idx.size)
+                poss.extend(idx.tolist())
+                fps.extend(hs[idx].view(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+
+    return base.mapInPandas(_gen, schema)
+
+
+def _suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy lexsort), O(n log^2 n)."""
+    n = codes.size
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new = np.zeros(n, dtype=np.int64)
+        r_o, k_o = rank[order], key2[order]
+        changed = np.empty(n, dtype=bool)
+        changed[0] = False
+        changed[1:] = (r_o[1:] != r_o[:-1]) | (k_o[1:] != k_o[:-1])
+        new[order] = np.cumsum(changed)
+        rank = new
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def _kasai_lcp(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """LCP array: lcp[i] = common prefix length of sa[i-1], sa[i]."""
+    n = codes.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def lcs_length(a: str, b: str) -> int:
+    """Exact longest-common-substring length via suffix array + Kasai LCP of
+    the two concatenated strings (separator outside both alphabets)."""
+    if not a or not b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    sep = np.array([-1], dtype=np.int64)  # smaller than any codepoint
+    s = np.concatenate([ca, sep, cb])
+    sa = _suffix_array(s)
+    lcp = _kasai_lcp(s, sa)
+    # max LCP of sa-adjacent suffixes from different sides; matches cannot
+    # cross the separator because it equals nothing else
+    side = sa < ca.size
+    cross = side[1:] != side[:-1]
+    return int(lcp[1:][cross].max()) if cross.any() else 0
+
+
+def _extend_at(ca: np.ndarray, cb: np.ndarray, pa: int, pb: int) -> int:
+    """Length of the maximal common substring through anchor (pa, pb)
+    (same alignment), via vectorized compare-and-scan."""
+    m = min(ca.size - pa, cb.size - pb)
+    neq = ca[pa : pa + m] != cb[pb : pb + m]
+    right = int(np.argmax(neq)) if neq.any() else m
+    m2 = min(pa, pb)
+    if m2:
+        neq_l = ca[pa - m2 : pa][::-1] != cb[pb - m2 : pb][::-1]
+        left = int(np.argmax(neq_l)) if neq_l.any() else m2
+    else:
+        left = 0
+    return left + right
+
+
+def substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 64,
+    k: int = _K_DEFAULT,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """(src, dst, match_len): document pairs sharing an exact common
+    substring of length >= min_len; match_len is the exact LCS length from
+    the suffix-array verification.
+
+    Two-step verify: a vectorized anchor-extension check first (the
+    winnowing theorem guarantees a shared fingerprint aligned INSIDE any
+    >=min_len common substring, so extension at that anchor recovers it —
+    no recall loss); the exact suffix-array LCS runs only on pairs that
+    pass, so spurious candidates from boilerplate k-grams cost O(k) numpy
+    work instead of O(n log n).  Anchor count per pair is bounded by the
+    winnowing density (~2*len/window), not by pair similarity.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, min_len=min_len, k=k)
+
+    sizes = fps.groupBy("fp").agg(F.count("*").alias("bs"))
+    fps_ok = fps.join(
+        sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "fp"
+    )
+    a = fps_ok.select("fp", F.col(id_col).alias("src"), F.col("pos").alias("pos_a"))
+    b = fps_ok.select("fp", F.col(id_col).alias("dst"), F.col("pos").alias("pos_b"))
+    cand = (
+        a.join(b, "fp")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.collect_set(F.struct("pos_a", "pos_b")).alias("anchors"))
+    )
+
+    texts = df.select(F.col(id_col), _norm_text_col(F.col(text_col)).alias("_t"))
+    joined = (
+        cand.join(texts.select(F.col(id_col).alias("src"), F.col("_t").alias("ta")), "src")
+        .join(texts.select(F.col(id_col).alias("dst"), F.col("_t").alias("tb")), "dst")
+    )
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = f"src {id_t}, dst {id_t}, match_len long"
+
+    def _verify(batches):
+        for pdf in batches:
+            keep_src, keep_dst, lens = [], [], []
+            for s_, d_, ta, tb, anchors in zip(
+                pdf["src"], pdf["dst"], pdf["ta"], pdf["tb"], pdf["anchors"]
+            ):
+                ca = np.frombuffer(ta.encode("utf-32-le"), dtype=np.uint32)
+                cb = np.frombuffer(tb.encode("utf-32-le"), dtype=np.uint32)
+                hit = any(
+                    _extend_at(ca, cb, int(an["pos_a"]), int(an["pos_b"])) >= min_len
+                    for an in anchors
+                )
+                if hit:
+                    keep_src.append(s_)
+                    keep_dst.append(d_)
+                    lens.append(lcs_length(ta, tb))
+            yield pd.DataFrame({"src": keep_src, "dst": keep_dst, "match_len": lens})
+
+    return joined.mapInPandas(_verify, schema)

@@ -39,9 +39,18 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     cluster_id = min id of the near-duplicate component (deterministic,
     partitioning-invariant); singletons are their own cluster; components
-    below cfg.min_support get NULL cluster_id.
+    below cfg.min_support get NULL cluster_id.  When
+    cfg.substring_min_len is set, exact-substring-duplicate pairs (op 23)
+    are OR-merged into the edge list before clustering.
     """
-    edges = dedup_edges(df, cfg)
+    edges = dedup_edges(df, cfg).select("src", "dst")
+    if cfg.substring_min_len:
+        from ..operators.substring import substring_pairs
+
+        sub = substring_pairs(
+            df, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
+        ).select("src", "dst")
+        edges = edges.unionByName(sub)
     return assign_clusters(df, edges, cfg.id_col, cfg.min_support)
 
 

@@ -1,0 +1,100 @@
+"""Substring-duplicate pass: suffix-array LCS correctness vs brute force,
+the winnowing recall guarantee, and end-to-end detection of planted
+containment pairs that MinHash misses by construction (FIXTURES.md §D)."""
+
+import numpy as np
+import pytest
+
+from fixtures_gen import substr_docs
+from lsh_hdc_spark.config import DedupConfig
+from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs
+from lsh_hdc_spark.operators.substring import (
+    _rolling_kgram_hashes,
+    _winnow,
+    lcs_length,
+    substring_pairs,
+    winnow_fingerprints,
+)
+
+
+def _brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+def test_lcs_matches_brute_force():
+    rng = np.random.default_rng(3)
+    letters = "abcd"
+    for _ in range(40):
+        a = "".join(rng.choice(list(letters), size=int(rng.integers(1, 60))))
+        b = "".join(rng.choice(list(letters), size=int(rng.integers(1, 60))))
+        assert lcs_length(a, b) == _brute_lcs(a, b), (a, b)
+    assert lcs_length("", "abc") == 0
+    assert lcs_length("xyz", "xyz") == 3
+
+
+def test_winnowing_guarantee():
+    """Planted shared substring of EXACTLY min_len chars must always yield a
+    shared fingerprint (the winnowing theorem), across 50 random trials."""
+    rng = np.random.default_rng(5)
+    k, min_len = 8, 24
+    w = min_len - k + 1
+    alphabet = list("abcdefghij")
+    for _ in range(50):
+        core = "".join(rng.choice(alphabet, size=min_len))
+        a = "".join(rng.choice(alphabet, size=100)) + core + "".join(
+            rng.choice(alphabet, size=80)
+        )
+        b = "".join(rng.choice(alphabet, size=60)) + core + "".join(
+            rng.choice(alphabet, size=120)
+        )
+        fps = []
+        for t in (a, b):
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            hs = _rolling_kgram_hashes(codes, k)
+            fps.append(set(hs[_winnow(hs, w)].tolist()))
+        assert fps[0] & fps[1], "winnowing guarantee violated"
+
+
+def test_planted_containment_pairs_found(spark):
+    rows = substr_docs(n_pairs=20, n_noise=40, overlap=96)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "id string, text string"
+    )
+    got = substring_pairs(df, "id", "text", min_len=64).collect()
+    found = {(min(r.src, r.dst), max(r.src, r.dst)) for r in got}
+    want = {
+        (min(rid, cid), max(rid, cid))
+        for rid, _, cid in rows
+        if cid is not None
+    }
+    assert want <= found, f"missed {want - found}"
+    extras = found - want
+    assert not extras, f"false positives {extras}"
+    assert all(r.match_len >= 96 for r in got)
+
+
+def test_minhash_misses_these_pairs(spark):
+    """Sanity: the planted pairs have near-zero trigram-shingle Jaccard, so
+    the substring pass is genuinely additive."""
+    rows = substr_docs(n_pairs=10, n_noise=0, overlap=96)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "id string, text string"
+    )
+    cfg = DedupConfig(id_col="id", text_col="text", shingle_mode="char", span=5)
+    j = exact_jaccard_pairs(df, cfg, threshold=cfg.resolved_jaccard_threshold)
+    assert j.count() == 0
+
+
+def test_fingerprints_deterministic(spark):
+    rows = substr_docs(n_pairs=5, n_noise=5)
+    df = spark.createDataFrame([(r[0], r[1]) for r in rows], "id string, text string")
+    f1 = sorted(map(tuple, winnow_fingerprints(df, "id", "text").collect()))
+    f2 = sorted(map(tuple, winnow_fingerprints(df.repartition(7), "id", "text").collect()))
+    assert f1 == f2
