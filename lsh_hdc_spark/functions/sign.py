@@ -1,14 +1,24 @@
-"""Signature stage (ops 5-8): MinHash / SimHash / b-bit sketch / LSH band keys.
+"""Signature stage (ops 2-8): shingle hashing + MinHash / SimHash / b-bit
+sketch / LSH band keys, fused into ONE vectorized Arrow stage.
 
-Reference semantics: ``lsh_hdc/__init__.py::MinHashSignature.get_signature``,
-``::MinHashSketchSignature``, ``::SimHashSignature``, ``::LSHC.hash``
-(SURVEY.md §2.1 ops 5-8).  The reference computes these per item in Python;
-here all four are fused into ONE vectorized pandas/Arrow UDF over the
-JVM-hashed shingle arrays, so the whole signing stage costs a single
-Python<->JVM Arrow hop per batch (SURVEY.md §3.1) and every inner operation
-is a numpy uint64 kernel (no per-row Python — BASELINE.json input_hint).
+Reference semantics: ``lsh_hdc/__init__.py::Shingler.get_shingles``,
+``::MinHashSignature.get_signature``, ``::MinHashSketchSignature``,
+``::SimHashSignature``, ``::LSHC.hash`` (SURVEY.md §2.1 ops 2-8).  The
+reference computes these per item in Python; here the whole chain runs in
+one ``mapInPandas`` pass per batch: tokenize/shingle in CPython (regex +
+list ops — linear, C-backed), then EVERYTHING numeric as numpy uint64
+kernels over one flat concatenated array (polynomial shingle hashing,
+seeded-minima MinHash, bit-majority SimHash, band-key folds).
+
+Why not Catalyst expressions for shingling: Spark's higher-order functions
+(transform/filter lambdas) evaluate interpreted, outside whole-stage
+codegen, and re-evaluate the tokenization per lambda call — measured ~45 s
+for 20k short docs vs ~2 s for this path.  The Catalyst shingle expressions
+remain in functions/text.py for the SQL-oracle-checked queries.
 
 Semantic contracts honored (SURVEY.md §2.5):
+ - shingle hash = mix64(polynomial(codepoints)) — reproduced exactly by the
+   pure-int test oracle (tests/ref_oracle.py::shingle_hash);
  - sig agreement mean(sig_a[k]==sig_b[k]) is an unbiased Jaccard estimator
    (property-tested in tests/test_sign.py);
  - band key = deterministic fold of one band's r signature values + band
@@ -19,18 +29,25 @@ Semantic contracts honored (SURVEY.md §2.5):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DedupConfig
-from .hashing import as_i64, as_u64, hash_seeds, mix64
-from .text import hashed_shingles, shingles_for
+from .hashing import as_i64, hash_seeds, mix64
+from .text import TOKEN_SPLIT_RE
+
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
+_WS_RE = re.compile(r"\s+")
+POLY_BASE = 1000003  # shared with the oracle's shingle_hash
 
 _SIGN_SCHEMA = T.StructType(
     [
+        T.StructField("shingles_h", T.ArrayType(T.LongType()), True),
         T.StructField("sig", T.ArrayType(T.LongType()), True),
         T.StructField("sketch", T.LongType(), True),
         T.StructField("band_keys", T.ArrayType(T.LongType()), True),
@@ -38,25 +55,59 @@ _SIGN_SCHEMA = T.StructType(
 )
 
 
-def _ragged(hs: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Flatten a Series of int64 arrays -> (flat_u64, lens, starts)."""
-    n = len(hs)
-    lens = np.empty(n, dtype=np.int64)
-    chunks = []
-    for i, a in enumerate(hs):
-        if a is None:
-            lens[i] = 0
-            continue
-        a = np.asarray(a, dtype=np.int64)
-        lens[i] = a.size
-        if a.size:
-            chunks.append(a)
-    flat = (
-        as_u64(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.uint64)
-    )
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:]) if n > 1 else None
-    return flat, lens, offsets
+def shingles_of(text: str | None, cfg: DedupConfig) -> list[str]:
+    """Python shingler (ops 2-4), exactly mirroring functions/text.py's
+    Catalyst expressions (tested equal in test_sign.py)."""
+    if not text:
+        return []
+    if cfg.shingle_mode == "word":
+        toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+        stride = cfg.skip + 1
+        reach = (cfg.span - 1) * stride + 1
+        if len(toks) >= reach:
+            out = [
+                " ".join(toks[i + j * stride] for j in range(cfg.span))
+                for i in range(len(toks) - reach + 1)
+            ]
+        elif toks and cfg.kmin >= 1:
+            out = [" ".join(toks)]
+        else:
+            out = []
+    else:
+        s = _WS_RE.sub(" ", text.lower()).strip()
+        if len(s) >= cfg.span:
+            out = [s[i : i + cfg.span] for i in range(len(s) - cfg.span + 1)]
+        elif s and cfg.kmin >= 1:
+            out = [s]
+        else:
+            out = []
+    if cfg.unique:
+        return list(dict.fromkeys(out))
+    return out
+
+
+def poly_hash_flat(shingles: list[str]) -> np.ndarray:
+    """uint64 hash per shingle: mix64 of the polynomial codepoint hash
+    h(s) = sum_i ord(s[i]) * BASE^(len-1-i) mod 2^64 — one vectorized pass
+    over the concatenation of ALL shingles in the batch."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    big = "".join(shingles)
+    codes = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    lens = np.fromiter(map(len, shingles), dtype=np.int64, count=len(shingles))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    seg = np.repeat(np.arange(lens.size), lens)
+    exps = ends[seg] - 1 - np.arange(codes.size)
+    with np.errstate(over="ignore"):
+        ptable = np.multiply.accumulate(
+            np.full(max(int(lens.max()), 1), POLY_BASE, dtype=np.uint64)
+        )
+        ptable = np.concatenate([[np.uint64(1)], ptable[:-1]])
+        prod = codes * ptable[exps]
+        # reduceat needs non-empty segments; shingles are never empty strings
+        h = np.add.reduceat(prod, starts)
+    return mix64(h)
 
 
 def _minhash_matrix(
@@ -112,21 +163,33 @@ def _bit_slices(v: np.ndarray, r: int, b: int, band_seeds: np.ndarray) -> np.nda
     return keys
 
 
-def sign_batch(hs: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
-    """Vectorized numpy core: Series of int64 shingle-hash arrays ->
-    DataFrame(sig, sketch, band_keys).  Shared by the mapInPandas stage and
-    by unit tests."""
+def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
+    """Batch kernel: Series of raw texts -> DataFrame(shingles_h, sig,
+    sketch, band_keys).  Shared by the mapInPandas stage and unit tests."""
     width, r, b = cfg.width, cfg.bandwidth, cfg.bands
     kseeds = hash_seeds(width, cfg.seed)
     band_seeds = hash_seeds(b, cfg.seed ^ 0xBA9D5EED)
 
-    n = len(hs)
-    flat, lens, offsets = _ragged(hs)
+    n = len(texts)
+    sh_lists = [shingles_of(t, cfg) for t in texts]
+    lens = np.fromiter(map(len, sh_lists), dtype=np.int64, count=n)
+    all_sh: list[str] = [s for lst in sh_lists for s in lst]
+    flat = poly_hash_flat(all_sh)
+    offsets = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1], out=offsets[1:])
     nz = lens > 0
     starts_nz = offsets[nz]
+
     sig_col = np.empty(n, dtype=object)
     keys_col = np.empty(n, dtype=object)
+    sh_col = np.empty(n, dtype=object)
     sketch_col = np.zeros(n, dtype=np.int64)
+
+    flat_i64 = as_i64(flat)
+    bounds = np.concatenate([offsets, [int(lens.sum())]]) if n else offsets
+    for i in range(n):
+        sh_col[i] = flat_i64[bounds[i] : bounds[i + 1]] if lens[i] else None
 
     if starts_nz.size:
         if cfg.signer == "minhash":
@@ -152,34 +215,39 @@ def sign_batch(hs: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     for i in np.flatnonzero(~nz):
         sig_col[i] = None
         keys_col[i] = None
-    return pd.DataFrame({"sig": sig_col, "sketch": sketch_col, "band_keys": keys_col})
+    return pd.DataFrame(
+        {
+            "shingles_h": sh_col,
+            "sig": sig_col,
+            "sketch": sketch_col,
+            "band_keys": keys_col,
+        }
+    )
 
 
-def signed(df: DataFrame, cfg: DedupConfig, shingles: Column | None = None) -> DataFrame:
+def signed(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """id + hashed shingles + signature columns for a raw input frame.
 
     Output: (id_col, shingles_h: array<bigint>, sig, sketch, band_keys).
-    The text column is dropped immediately after shingling and heavy payload
-    columns (e.g. clips.bytes) are never selected — at 10^12-row scale the
-    binary column must not enter any shuffle (SURVEY.md §4.2).
+    The text column is consumed inside the stage and heavy payload columns
+    (e.g. clips.bytes) are never selected — at 10^12-row scale the binary
+    column must not enter any shuffle (SURVEY.md §4.2).
 
-    Implementation note: the signing runs in ``mapInPandas`` (its own
-    MapInPandas plan node) rather than a pandas_udf column expression:
-    downstream ``explode(band_keys)`` would otherwise collapse the Python
-    UDF into a Generate node, which Spark cannot evaluate (internal error
-    observed on 4.1.2).  Cost is identical — one Arrow hop per batch.
+    Implementation notes: one ``mapInPandas`` pass (own plan node — a
+    pandas_udf column expression consumed by explode() hits a Catalyst
+    Generate internal error on 4.1.2, and Catalyst higher-order functions
+    evaluate interpreted and would dominate the stage cost; see module
+    docstring).
     """
-    sh = shingles if shingles is not None else shingles_for(cfg)
-    base = df.select(F.col(cfg.id_col), hashed_shingles(sh).alias("shingles_h"))
+    base = df.select(F.col(cfg.id_col), F.col(cfg.text_col))
     out_schema = T.StructType(
-        list(base.schema.fields) + list(_SIGN_SCHEMA.fields)
+        [base.schema[cfg.id_col]] + list(_SIGN_SCHEMA.fields)
     )
 
     def _map(batches):
         for pdf in batches:
-            res = sign_batch(pdf["shingles_h"], cfg)
-            yield pd.concat(
-                [pdf.reset_index(drop=True), res.reset_index(drop=True)], axis=1
-            )
+            res = sign_batch_texts(pdf[cfg.text_col], cfg)
+            res.insert(0, cfg.id_col, pdf[cfg.id_col].reset_index(drop=True))
+            yield res
 
     return base.mapInPandas(_map, out_schema)

@@ -80,9 +80,14 @@ def connected_components(
         e = e.localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iter):
+        old = e
         e = _small_star(_large_star(e))
         if checkpoint:
+            # materialize the new round, then release the previous round's
+            # checkpoint blocks — otherwise every iteration's edge set stays
+            # pinned in executor storage for the rest of the job
             e = e.localCheckpoint(eager=True)
+            old.unpersist()
         fp = _fingerprint(e)
         if fp == prev:
             break

@@ -7,37 +7,68 @@ Two paths:
    — bucket on band keys of the sign pattern, search within buckets only.
    The scale path: recall < 1 (tunable via bands/rows), cost ~ bucket sizes.
 
-All arithmetic is JVM-side (zip_with/aggregate in whole-stage codegen);
-vectors are cast to double so the fold order and precision are well-defined.
+Numeric kernels (unit-normalization, hyperplane projections, dot products)
+run as vectorized numpy inside mapInPandas / pandas_udf — Catalyst
+higher-order functions (aggregate/zip_with) evaluate interpreted per
+element and are ~10x slower on array math (measured; see functions/sign.py
+module docstring for the same finding on shingles).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash_seeds, mix64
+from ..functions.hashing import as_i64, hash_seeds, mix64
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+def _dot_udf() -> Column:
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        ma = np.stack(a.to_numpy())
+        mb = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot
+
+
+def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _unit: array<double>) — L2-normalized vectors, numpy-batched."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def _norm(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = m / n
+            yield pd.DataFrame({id_col: pdf[id_col], "_unit": list(u)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _norm, f"{id_col} {id_t}, _unit array<double>"
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+def _topk(both: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
-def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    v = F.col(vec_col).cast("array<double>")
-    staged = df.select(F.col(id_col), v.alias("_v"), norm(v).alias("_n"))
-    return staged.select(
-        F.col(id_col),
-        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("_unit"),
+def _mirror(sims: DataFrame) -> DataFrame:
+    return sims.unionByName(
+        sims.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine",
+        )
     )
 
 
@@ -47,38 +78,26 @@ def cosine_topk(
     """(vec_id, neighbor_id, cosine, rank): exact top-k cosine neighbors per
     vector (self excluded).  Brute force — O(n^2/2) similarity evaluations;
     at scale use ann_topk and verify a sample against this."""
-    unit = _normalized(df, id_col, vec_col)
+    unit = _unit_rows(df, id_col, vec_col)
     a = unit.select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("va"))
     b = unit.select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("vb"))
-    sims = (
-        a.join(b, F.col("vec_id") < F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", dot(F.col("va"), F.col("vb")).alias("cosine"))
+    dot = _dot_udf()
+    sims = a.join(b, F.col("vec_id") < F.col("neighbor_id")).select(
+        "vec_id", "neighbor_id", dot(F.col("va"), F.col("vb")).alias("cosine")
     )
-    both = sims.unionByName(
-        sims.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "cosine",
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        both.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _topk(_mirror(sims), k)
 
 
-def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     """Deterministic pseudo-Gaussian hyperplanes from the splitmix64 stream
     (Box-Muller over two uniform streams)."""
     n = dim * n_bits
-    s1 = np.array(hash_seeds(n, seed), dtype=np.uint64)
-    s2 = np.array(hash_seeds(n, seed ^ 0x5A5A5A5A), dtype=np.uint64)
+    s1 = hash_seeds(n, seed)
+    s2 = hash_seeds(n, seed ^ 0x5A5A5A5A)
     u1 = (mix64(s1).astype(np.float64) + 1.0) / 2.0**64  # (0,1]
     u2 = mix64(s2).astype(np.float64) / 2.0**64
     g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
-    return g.reshape(n_bits, dim).tolist()
+    return g.reshape(n_bits, dim)
 
 
 def ann_topk(
@@ -86,63 +105,83 @@ def ann_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bits: int = 16,
-    bands: int = 4,
+    n_bits: int = 64,
+    bands: int = 8,
     seed: int = 0xA22,
     bucket_cap: int = 2000,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: random-hyperplane signature of
-    n_bits, split into `bands` band keys; candidate pairs share >=1 band;
-    exact cosine is computed only within buckets.  Buckets above bucket_cap
-    are dropped (hot-bucket guard, same policy as the text pipeline)."""
+    n_bits split into `bands` band keys (8 bands x 8 bits default: ~94%
+    candidate probability at cosine 0.9, fine buckets); candidate pairs
+    share >=1 band; exact cosine is computed only within buckets.  Buckets
+    above bucket_cap are dropped (hot-bucket guard, same policy as the text
+    pipeline).  Unit vectors are joined back AFTER the distinct candidate-id
+    set is formed, so the band-key shuffles move only (id, key) rows."""
     if n_bits % bands != 0:
         raise ValueError("bands must divide n_bits")
-    rows_per_band = n_bits // bands
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_bits, seed)
+    r = n_bits // bands
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    planes = _hyperplanes(dim, n_bits, seed).T  # (dim, n_bits)
+    bseeds = hash_seeds(bands, seed ^ 0xB17)
+    id_t = df.schema[id_col].dataType.simpleString()
 
-    unit = _normalized(df, id_col, vec_col)
-    bits = [
-        F.when(dot(F.col("_unit"), F.array(*[F.lit(float(w)) for w in plane])) >= 0, 1)
-        .otherwise(0)
-        .alias(f"b{i}")
-        for i, plane in enumerate(planes)
-    ]
-    sig = unit.select(F.col(id_col), "_unit", *bits)
-    band_cols = []
-    for bd in range(bands):
-        parts = [F.col(f"b{bd * rows_per_band + j}") for j in range(rows_per_band)]
-        band_cols.append(
-            F.xxhash64(F.lit(bd), F.concat_ws(",", *[p.cast("string") for p in parts]))
-        )
-    keyed = sig.select(
-        F.col(id_col), F.col("_unit"), F.explode(F.array(*band_cols)).alias("bkey")
+    def _keys(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = m / n
+            bits = (u @ planes >= 0).astype(np.uint64)  # (batch, n_bits)
+            keys = np.empty((m.shape[0], bands), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(bands):
+                    chunk = bits[:, j * r : (j + 1) * r]
+                    packed = (chunk << np.arange(r, dtype=np.uint64)[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    keys[:, j] = mix64(packed ^ bseeds[j])
+            keys_i = as_i64(keys.reshape(-1)).reshape(keys.shape)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "_unit": list(u),
+                    "bkeys": list(keys_i),
+                }
+            )
+
+    keyed_rows = df.select(id_col, vec_col).mapInPandas(
+        _keys, f"{id_col} {id_t}, _unit array<double>, bkeys array<long>"
     )
+    from pyspark.storagelevel import StorageLevel
+
+    keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
     sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bs"))
     keyed = keyed.join(
         sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "bkey"
     )
-    a = keyed.select("bkey", F.col(id_col).alias("vec_id"), F.col("_unit").alias("va"))
-    b = keyed.select(
-        "bkey", F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("vb")
-    )
-    cand = (
+    a = keyed.select("bkey", F.col(id_col).alias("vec_id"))
+    b = keyed.select("bkey", F.col(id_col).alias("neighbor_id"))
+    cand_ids = (
         a.join(b, "bkey")
         .where(F.col("vec_id") < F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", "va", "vb")
-        .dropDuplicates(["vec_id", "neighbor_id"])
+        .select("vec_id", "neighbor_id")
+        .distinct()
+    )
+    units = keyed_rows.select(id_col, "_unit")
+    dot = _dot_udf()
+    cand = (
+        cand_ids.join(
+            units.select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("va")),
+            "vec_id",
+        )
+        .join(
+            units.select(
+                F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("vb")
+            ),
+            "neighbor_id",
+        )
         .select("vec_id", "neighbor_id", dot(F.col("va"), F.col("vb")).alias("cosine"))
     )
-    both = cand.unionByName(
-        cand.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "cosine",
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        both.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _topk(_mirror(cand), k)

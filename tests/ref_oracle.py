@@ -148,8 +148,19 @@ def char_shingles(text: str, span: int = 4, unique: bool = True, kmin: int = 1) 
 # ---------------------------------------------------------------------------
 # Ops 5-8: signatures and band keys
 # ---------------------------------------------------------------------------
+def shingle_hash(s: str) -> int:
+    """Matches the pipeline's shingle hash (functions/sign.py::
+    poly_hash_flat): mix64 of the polynomial codepoint hash, returned as a
+    signed int64."""
+    h = 0
+    for ch in s:
+        h = (h * 1000003 + ord(ch)) & MASK
+    h = mix64(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def shingle_hashes(sh: list[str]) -> list[int]:
-    return [xxh64(s.encode("utf-8")) for s in sh]
+    return [shingle_hash(s) for s in sh]
 
 
 def minhash_sig(hashes: list[int], width: int, seed: int) -> list[int] | None:
