@@ -43,7 +43,10 @@ from .text import TOKEN_SPLIT_RE
 
 _TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
 _WS_RE = re.compile(r"\s+")
-POLY_BASE = 1000003  # shared with the oracle's shingle_hash
+POLY_BASE = 1000003  # shared with the oracle's element_hash
+#: fold seed for combining token hashes into a word-shingle hash — shared
+#: with the oracle's shingle_hash
+FOLD_SEED = np.uint64(0x51C1E5EED)
 
 _SIGN_SCHEMA = T.StructType(
     [
@@ -163,6 +166,72 @@ def _bit_slices(v: np.ndarray, r: int, b: int, band_seeds: np.ndarray) -> np.nda
     return keys
 
 
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for segment sizes `counts`."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+
+
+def word_shingle_hashes(texts: pd.Series, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_u64, per-doc shingle counts) for word mode.
+
+    Token-level hashing: factorize all batch tokens (C speed), hash each
+    DISTINCT token once (poly+mix64), then fold the span token hashes of
+    each window with FOLD_SEED.  Compared to hashing shingle STRINGS
+    character-wise this moves ~25x less memory (the former was measured
+    memory-bandwidth-bound: zero core scaling on 200-token docs).
+    Duplicate shingles are NOT deduped here — MinHash minima and the
+    array_distinct-based Jaccard verify are insensitive to multiplicity.
+    """
+    stride = cfg.skip + 1
+    span = cfg.span
+    reach = (span - 1) * stride + 1
+    tok_lists = [
+        [t for t in _TOKEN_RE.split(x.lower()) if t] if x else [] for x in texts
+    ]
+    ntok = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat_toks = [t for lst in tok_lists for t in lst]
+    if not flat_toks:
+        return np.empty(0, dtype=np.uint64), np.zeros(len(texts), dtype=np.int64)
+    codes, uniques = pd.factorize(np.asarray(flat_toks, dtype=object))
+    th = poly_hash_flat(list(uniques))[codes]  # (n_tokens,) uint64
+
+    doc_start = np.cumsum(ntok) - ntok
+    full = ntok >= reach
+    nwin = np.where(full, ntok - reach + 1, np.where(ntok > 0, int(cfg.kmin >= 1), 0))
+    out = np.empty(int(nwin.sum()), dtype=np.uint64)
+    out_start = np.cumsum(nwin) - nwin
+
+    # vectorized fold for full-window docs
+    nw_full = nwin[full]
+    if nw_full.size:
+        starts = np.repeat(doc_start[full], nw_full) + _seg_arange(nw_full)
+        z = np.full(starts.size, FOLD_SEED, dtype=np.uint64)
+        for j in range(span):
+            z = mix64(z ^ th[starts + j * stride])
+        pos = np.repeat(out_start[full], nw_full) + _seg_arange(nw_full)
+        out[pos] = z
+    # short docs (kmin fallback): one shingle = fold over ALL tokens
+    for d in np.flatnonzero(~full & (nwin > 0)):
+        z = FOLD_SEED
+        for t in th[doc_start[d] : doc_start[d] + ntok[d]]:
+            z = mix64(z ^ t)
+        out[out_start[d]] = z
+    return out, nwin
+
+
+def char_shingle_hashes(texts: pd.Series, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_u64, per-doc shingle counts) for char mode: poly+mix64 of each
+    shingle substring (distinct per doc when cfg.unique)."""
+    sh_lists = [shingles_of(t, cfg) for t in texts]
+    lens = np.fromiter(map(len, sh_lists), dtype=np.int64, count=len(sh_lists))
+    all_sh = [s for lst in sh_lists for s in lst]
+    return poly_hash_flat(all_sh), lens
+
+
 def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     """Batch kernel: Series of raw texts -> DataFrame(shingles_h, sig,
     sketch, band_keys).  Shared by the mapInPandas stage and unit tests."""
@@ -171,10 +240,10 @@ def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     band_seeds = hash_seeds(b, cfg.seed ^ 0xBA9D5EED)
 
     n = len(texts)
-    sh_lists = [shingles_of(t, cfg) for t in texts]
-    lens = np.fromiter(map(len, sh_lists), dtype=np.int64, count=n)
-    all_sh: list[str] = [s for lst in sh_lists for s in lst]
-    flat = poly_hash_flat(all_sh)
+    if cfg.shingle_mode == "word":
+        flat, lens = word_shingle_hashes(texts, cfg)
+    else:
+        flat, lens = char_shingle_hashes(texts, cfg)
     offsets = np.zeros(n, dtype=np.int64)
     if n > 1:
         np.cumsum(lens[:-1], out=offsets[1:])

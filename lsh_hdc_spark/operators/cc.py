@@ -29,6 +29,8 @@ def _large_star(e: DataFrame) -> DataFrame:
         e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    # no distinct here: small_star dedups at the end of the round, saving a
+    # shuffle per iteration; duplicate edges are harmless in between
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
@@ -36,7 +38,6 @@ def _large_star(e: DataFrame) -> DataFrame:
             F.col("v").alias("src"),
             F.least(F.col("mn"), F.col("u")).alias("dst"),
         )
-        .distinct()
     )
 
 
@@ -76,19 +77,21 @@ def connected_components(
     emitted — callers coalesce missing labels to the node's own id.
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
     prev = None
-    for _ in range(max_iter):
-        old = e
+    pinned: list[DataFrame] = []
+    for it in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint:
-            # materialize the new round, then release the previous round's
-            # checkpoint blocks — otherwise every iteration's edge set stays
-            # pinned in executor storage for the rest of the job
-            e = e.localCheckpoint(eager=True)
-            old.unpersist()
+            # LAZY localCheckpoint: truncates the logical plan immediately
+            # (each round references the prior plan ~5x, so without
+            # truncation analysis cost grows exponentially) but materializes
+            # on the fingerprint action below — ONE job per round
+            e = e.localCheckpoint(eager=False)
+            pinned.append(e)
         fp = _fingerprint(e)
+        # release everything but the newest round's blocks
+        while len(pinned) > 1:
+            pinned.pop(0).unpersist()
         if fp == prev:
             break
         prev = fp

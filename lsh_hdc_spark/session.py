@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64MB coalescing targets starve CPU-dense/byte-light stages
+        # (exact-Jaccard on hashed-shingle arrays ran on ~4 of 32 cores);
+        # 8MB keeps whole-machine parallelism while still merging dust
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

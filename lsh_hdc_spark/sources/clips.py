@@ -32,6 +32,12 @@ FAMILY_SIZE = 4  # 1 original + 3 near-duplicates
 DUP_FRACTION = 0.7  # fraction of rows that belong to families
 
 
+#: (min, max) transcript length in tokens; override for workloads with
+#: longer speech segments (scaling runs use ~real-transcript lengths)
+TRANSCRIPT_TOKENS = (18, 40)
+DUR_MS_RANGE = (200, 1000)
+
+
 def _family_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
     """2-4 summed sine tones, amplitude 0.5, int16."""
     n = sr_hz * dur_ms // 1000
@@ -46,19 +52,30 @@ def _family_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray
     return np.clip(sig * 32767, -32768, 32767).astype(np.int16)
 
 
-def _family_transcript(rng: np.random.Generator) -> list[str]:
-    length = int(rng.integers(18, 40))
-    probs = 1.0 / np.arange(1, 65)
-    probs /= probs.sum()
-    return [_VOCAB[i] for i in rng.choice(64, size=length, p=probs)]
+def _family_transcript(
+    rng: np.random.Generator,
+    tokens: tuple[int, int] = TRANSCRIPT_TOKENS,
+    vocab_size: int = 64,
+) -> list[str]:
+    length = int(rng.integers(tokens[0], tokens[1]))
+    if vocab_size == 64:  # default corpus: Zipf over the fixed small vocab
+        probs = 1.0 / np.arange(1, 65)
+        probs /= probs.sum()
+        return [_VOCAB[i] for i in rng.choice(64, size=length, p=probs)]
+    # large vocabs (scaling corpora): uniform draw, negligible accidental
+    # shingle overlap between unrelated docs
+    return [f"tok{i:05d}" for i in rng.integers(0, vocab_size, size=length)]
 
 
-def _perturb(toks: list[str], k: int, rng: np.random.Generator) -> list[str]:
+def _perturb(
+    toks: list[str], k: int, rng: np.random.Generator, vocab_size: int = 64
+) -> list[str]:
     p = list(toks)
     op = k % 4
     pos = int(rng.integers(0, len(p)))
     if op == 0:
-        p[pos] = _VOCAB[int(rng.integers(0, 64))]
+        i = int(rng.integers(0, vocab_size))
+        p[pos] = _VOCAB[i] if vocab_size == 64 else f"tok{i:05d}"
     elif op == 1:
         del p[pos]
     elif op == 2:
@@ -67,14 +84,21 @@ def _perturb(toks: list[str], k: int, rng: np.random.Generator) -> list[str]:
     return p
 
 
-def _synth_row(i: int, n_family_rows: int, seed: int) -> tuple:
+def _synth_row(
+    i: int,
+    n_family_rows: int,
+    seed: int,
+    tokens: tuple[int, int] = TRANSCRIPT_TOKENS,
+    dur_range: tuple[int, int] = DUR_MS_RANGE,
+    vocab_size: int = 64,
+) -> tuple:
     if i < n_family_rows:
         fam, k = divmod(i, FAMILY_SIZE)
         fam_rng = np.random.default_rng([seed, fam])
         sr = 16000 if fam_rng.random() < 0.9 else 8000
-        dur = int(fam_rng.integers(200, 1000))
+        dur = int(fam_rng.integers(*dur_range))
         pcm = _family_pcm(fam_rng, sr, dur)
-        toks = _family_transcript(fam_rng)
+        toks = _family_transcript(fam_rng, tokens, vocab_size)
         if k > 0:  # duplicate: original PCM + deterministic -40 dB noise
             m_rng = np.random.default_rng([seed, fam, k])
             rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) or 1.0
@@ -82,13 +106,13 @@ def _synth_row(i: int, n_family_rows: int, seed: int) -> tuple:
             pcm = np.clip(pcm.astype(np.float64) + noise, -32768, 32767).astype(
                 np.int16
             )
-            toks = _perturb(toks, k - 1, m_rng)
+            toks = _perturb(toks, k - 1, m_rng, vocab_size)
     else:  # singleton
         s_rng = np.random.default_rng([seed, 0x5150, i])
         sr = 16000 if s_rng.random() < 0.9 else 8000
-        dur = int(s_rng.integers(200, 1000))
+        dur = int(s_rng.integers(*dur_range))
         pcm = _family_pcm(s_rng, sr, dur)
-        toks = _family_transcript(s_rng)
+        toks = _family_transcript(s_rng, tokens, vocab_size)
     return (
         f"clip{i:08d}",
         pcm16_to_wav(pcm, sr),
@@ -100,19 +124,29 @@ def _synth_row(i: int, n_family_rows: int, seed: int) -> tuple:
 
 
 def synth_clips(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    tokens: tuple[int, int] = TRANSCRIPT_TOKENS,
+    dur_range: tuple[int, int] = DUR_MS_RANGE,
+    vocab_size: int = 64,
 ) -> DataFrame:
     """Distributed deterministic clips table of n rows.
 
     ~DUP_FRACTION of rows form FAMILY_SIZE-member near-duplicate families
     (family id = row_index // FAMILY_SIZE); the rest are singletons.
+    `tokens` / `dur_range` / `vocab_size` size the transcripts and audio.
     """
     n_family_rows = (int(n * DUP_FRACTION) // FAMILY_SIZE) * FAMILY_SIZE
     base = spark.range(0, n, numPartitions=partitions)
 
     def _gen(batches):
         for pdf in batches:
-            rows = [_synth_row(int(i), n_family_rows, seed) for i in pdf["id"]]
+            rows = [
+                _synth_row(int(i), n_family_rows, seed, tokens, dur_range, vocab_size)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],

@@ -148,19 +148,33 @@ def char_shingles(text: str, span: int = 4, unique: bool = True, kmin: int = 1) 
 # ---------------------------------------------------------------------------
 # Ops 5-8: signatures and band keys
 # ---------------------------------------------------------------------------
-def shingle_hash(s: str) -> int:
-    """Matches the pipeline's shingle hash (functions/sign.py::
-    poly_hash_flat): mix64 of the polynomial codepoint hash, returned as a
-    signed int64."""
+_FOLD_SEED = 0x51C1E5EED  # shared with functions/sign.py::FOLD_SEED
+
+
+def element_hash_u(s: str) -> int:
+    """mix64 of the polynomial codepoint hash (unsigned) — matches
+    functions/sign.py::poly_hash_flat."""
     h = 0
     for ch in s:
         h = (h * 1000003 + ord(ch)) & MASK
-    h = mix64(h)
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return mix64(h)
 
 
-def shingle_hashes(sh: list[str]) -> list[int]:
-    return [shingle_hash(s) for s in sh]
+def shingle_hash(s: str, mode: str = "word") -> int:
+    """Signed int64 shingle hash matching the pipeline: word mode folds the
+    token hashes with the fold seed (functions/sign.py::word_shingle_hashes);
+    char mode hashes the whole substring."""
+    if mode == "word":
+        z = _FOLD_SEED
+        for tok in s.split(" "):
+            z = mix64(z ^ element_hash_u(tok))
+    else:
+        z = element_hash_u(s)
+    return z - (1 << 64) if z >= (1 << 63) else z
+
+
+def shingle_hashes(sh: list[str], mode: str = "word") -> list[int]:
+    return [shingle_hash(s, mode) for s in sh]
 
 
 def minhash_sig(hashes: list[int], width: int, seed: int) -> list[int] | None:
@@ -241,7 +255,7 @@ def cluster(
             sh = shingles(text, span=span, skip=skip, unique=unique, kmin=kmin)
         else:
             sh = char_shingles(text, span=char_span, unique=unique, kmin=kmin)
-        hs = set(shingle_hashes(sh))
+        hs = set(shingle_hashes(sh, mode))
         sets[iid] = hs
         sig = minhash_sig(sorted(hs), width, seed)
         keys_of[iid] = band_keys(sig, bandwidth, seed) if sig else []
