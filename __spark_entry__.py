@@ -25,7 +25,7 @@ from lsh_hdc_spark.functions.textstats import (
     LANG_PROFILES,
     doc_stats,
     language_id,
-    quality_score,
+    quality_micros,
 )
 from lsh_hdc_spark.functions.sign import signed
 from lsh_hdc_spark.operators.cc import connected_components
@@ -119,8 +119,9 @@ def _q_doc_stats(spark, sf_dir):
 
 
 def _q_doc_quality(spark, sf_dir):
-    st = quality_score(doc_stats(_docs(spark, sf_dir), "doc_id", "text"))
-    return st.select("doc_id", "quality")
+    """Quality composite in integer micro-units (tie-proof across engines —
+    see functions/textstats.py::quality_micros)."""
+    return quality_micros(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _q_language_id(spark, sf_dir):
@@ -160,8 +161,13 @@ def _q_top_terms(spark, sf_dir):
 
 
 def _q_minhash_signatures(spark, sf_dir):
+    """One row per (doc, hash-function index): scalar columns only, so the
+    harness canonicalizer can sort/hash the frame.  Rows-only by design:
+    the MinHash family (splitmix64 with pinned seeds) is not portable SQL;
+    estimator correctness is property-tested in tests/test_sign.py and the
+    downstream candidate/cluster queries are value-checked."""
     s = signed(_docs(spark, sf_dir), CFG)
-    return s.select("doc_id", "sig", "sketch")
+    return s.select("doc_id", F.posexplode("sig").alias("k", "sig_k"))
 
 
 def _q_band_keys(spark, sf_dir):
@@ -318,16 +324,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id,
                      len(ts) AS n_tokens,
                      len(list_distinct(ts)) AS n_distinct,
-                     round(length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
-                           / greatest(length(d.text), 1), 6) AS alpha_ratio
+                     length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
+                       / greatest(length(d.text), 1)::DOUBLE AS alpha_ratio
               FROM documents d JOIN toks ON toks.doc_id = d.doc_id
             )
             SELECT doc_id,
-                   round((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
-                               THEN 1.0 ELSE 0.3 END) * 0.4
-                         + least(n_distinct::DOUBLE / greatest(n_tokens, 1) * 2,
-                                 1.0) * 0.3
-                         + alpha_ratio * 0.3, 6) AS quality
+                   CAST(floor(((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                                     THEN 1.0 ELSE 0.3 END) * 0.4
+                               + least(n_distinct::DOUBLE
+                                       / greatest(n_tokens, 1)::DOUBLE * 2,
+                                       1.0) * 0.3
+                               + alpha_ratio * 0.3) * 1e6 + 0.5) AS BIGINT)
+                     AS quality_micros
             FROM st
         """,
         "language_id": f"""

@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--shuffle-partitions", type=int, required=True)
+    ap.add_argument(
+        "--phase-timings",
+        action="store_true",
+        help="diagnostic mode: force-materialize each pipeline phase and "
+        "report per-phase wall time (NOT the official timed protocol — "
+        "the extra materializations change the job)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -43,13 +50,18 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
 
     from lsh_hdc_spark.config import CLIPS
     from lsh_hdc_spark.plans.pipeline import run_pipeline
+
+    if args.phase_timings:
+        _phase_run(spark, args)
+        spark.stop()
+        return
 
     t0 = time.monotonic()
     clips = spark.read.parquet(args.input)
@@ -63,6 +75,50 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _phase_run(spark, args) -> None:
+    """Diagnostic: time each phase of the pipeline separately (forces a
+    materialization boundary after each, so totals exceed the fused run)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.functions.sign import signed
+    from lsh_hdc_spark.operators.cc import assign_clusters
+    from lsh_hdc_spark.operators.pairs import candidate_pairs, verify_pairs
+
+    phases: dict[str, float] = {}
+
+    def tick(name, fn):
+        t = time.monotonic()
+        out = fn()
+        phases[name] = round(time.monotonic() - t, 2)
+        return out
+
+    clips = spark.read.parquet(args.input).select(CLIPS.id_col, CLIPS.text_col)
+    s = signed(clips, CLIPS).persist(StorageLevel.MEMORY_AND_DISK)
+    tick("sign", lambda: s.count())
+    pairs = candidate_pairs(s, CLIPS).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = tick("pairs", lambda: pairs.count())
+    edges = verify_pairs(pairs, s, CLIPS).select("src", "dst").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_edges = tick("verify", lambda: edges.count())
+    labels = tick("cc", lambda: assign_clusters(clips, edges, CLIPS.id_col))
+    tick(
+        "assign_write",
+        lambda: labels.write.mode("overwrite").parquet(args.out),
+    )
+    print(
+        json.dumps(
+            {
+                "phases": phases,
+                "total_s": round(sum(phases.values()), 2),
+                "n_pairs": n_pairs,
+                "n_edges": n_edges,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def _session(shuffle_partitions: int | None) -> SparkSession:
         SparkSession.builder.appName("lsh-hdc-spark")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

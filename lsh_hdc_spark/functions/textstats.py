@@ -78,6 +78,37 @@ def quality_score(df_stats: DataFrame) -> DataFrame:
     )
 
 
+def quality_micros(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, quality_micros: bigint) — the quality composite quantized to
+    integer micro-units, computed from UNROUNDED terms in one expression.
+
+    This is the cross-engine-comparable form: ``round(x, 6)`` semantics
+    diverge between engines when the double lands exactly on a 6th-decimal
+    half (Spark rounds the decimal expansion HALF_UP via BigDecimal, DuckDB
+    rounds the float) — observed on one sf0.01 row.  ``floor(q*1e6 + 0.5)``
+    over identically-ordered IEEE-754 double arithmetic is bit-deterministic
+    in both engines, and feeding unrounded terms removes the double-rounding
+    layer that manufactured the tie.
+    """
+    text = F.col(text_col)
+    toks = tokenize(F.lower(text))
+    n_tok = F.size(toks)
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(0.3)
+    diversity = F.least(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double") * 2,
+        F.lit(1.0),
+    )
+    alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", "")).cast(
+        "double"
+    ) / F.greatest(F.length(text), F.lit(1)).cast("double")
+    q = length_ok * 0.4 + diversity * 0.3 + alpha * 0.3
+    return df.select(
+        F.col(id_col),
+        F.floor(q * 1e6 + 0.5).cast("long").alias("quality_micros"),
+    )
+
+
 def language_id(text: Column) -> Column:
     """Heuristic language-ID: argmax stopword-hit ratio across profiles;
     'und' (undetermined) when nothing matches."""

@@ -58,12 +58,28 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    """Cheap order-insensitive digest of an edge set for convergence checks."""
+    """Cheap order-insensitive digest of an edge set for convergence checks.
+
+    ``bit_xor`` of per-edge hashes: overflow-free under ANSI mode (a sum of
+    uniform 64-bit hashes overflows LongType almost surely — Spark 4's
+    default ``spark.sql.ansi.enabled=true`` turns that into a query-killing
+    ARITHMETIC_OVERFLOW).  XOR is a valid set digest here because the frames
+    fingerprinted are always post-``_small_star`` and therefore distinct —
+    no duplicate edge can cancel out.
+    """
     row = e.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+#: target edge rows per shuffle partition inside the CC loop — each round is
+#: 2+ shuffles over a frame that is TINY relative to the corpus (verified
+#: near-dup pairs), so running them at the session-wide partition count makes
+#: task-scheduling overhead dominate (measured: local[32] at 128 partitions
+#: was ~2x SLOWER than local[8] at 32 on identical input).
+_CC_ROWS_PER_PARTITION = 250_000
 
 
 def connected_components(
@@ -75,28 +91,52 @@ def connected_components(
     `edges` needs columns (src, dst) of one orderable atomic type;
     direction and duplication are irrelevant.  Nodes with no edges are not
     emitted — callers coalesce missing labels to the node's own id.
+
+    The input edge frame is materialized once (eager localCheckpoint) so
+    the upstream plan (sign -> pairs -> verify) runs exactly once, and the
+    loop's shuffle-partition count is sized to the measured edge count
+    rather than the session-wide setting (see _CC_ROWS_PER_PARTITION).
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    spark = e.sparkSession
     prev = None
     pinned: list[DataFrame] = []
-    for it in range(max_iter):
-        e = _small_star(_large_star(e))
-        if checkpoint:
-            # LAZY localCheckpoint: truncates the logical plan immediately
-            # (each round references the prior plan ~5x, so without
-            # truncation analysis cost grows exponentially) but materializes
-            # on the fingerprint action below — ONE job per round
-            e = e.localCheckpoint(eager=False)
-            pinned.append(e)
-        fp = _fingerprint(e)
-        # release everything but the newest round's blocks
-        while len(pinned) > 1:
-            pinned.pop(0).unpersist()
-        if fp == prev:
-            break
-        prev = fp
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    old_parts = None
+    if checkpoint:
+        # materialize the (small) edge frame once: cuts the upstream plan
+        # out of every round AND gives an exact size for shuffle sizing
+        e = e.localCheckpoint(eager=True)
+        pinned.append(e)
+        n_edges = e.count()
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        loop_parts = max(
+            2, min(int(old_parts), -(-n_edges // _CC_ROWS_PER_PARTITION))
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for it in range(max_iter):
+            e = _small_star(_large_star(e))
+            if checkpoint:
+                # LAZY localCheckpoint: truncates the logical plan immediately
+                # (each round references the prior plan ~5x, so without
+                # truncation analysis cost grows exponentially) but materializes
+                # on the fingerprint action below — ONE job per round
+                e = e.localCheckpoint(eager=False)
+                pinned.append(e)
+            fp = _fingerprint(e)
+            # release everything but the newest round's blocks
+            while len(pinned) > 1:
+                pinned.pop(0).unpersist()
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     # converged star graphs: every edge is (member, root), root = component min
     members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))

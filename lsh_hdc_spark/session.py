@@ -49,7 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI-on is the Spark 4 default AND a standing requirement: the
+        # product must work on sessions it does not own (e.g. the driver
+        # harness), which run default-ANSI.  Set explicitly so our own tests
+        # exercise exactly that mode.
+        .config("spark.sql.ansi.enabled", "true")
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
