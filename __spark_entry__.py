@@ -3,10 +3,20 @@
 entry(spark)   — flagship near-dup clustering on sf0.001 documents.
 queries()      — one DataFrame-producing callable per implemented operator
                  (SURVEY.md §2); each takes (spark, sf_dir).
-oracle_sql()   — DuckDB-equivalent ANSI SQL for the SQL-expressible subset;
-                 MinHash/banding/CC-over-LSH and ANN entries are rows-only
-                 by design (hash families and approximate retrieval are not
-                 portable SQL; see SURVEY.md §5.2.4).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every query except TWO
+                 rows-only entries whose VALUES are hash-family-dependent
+                 and not portable SQL (SURVEY.md §5.2.4):
+                  * minhash_signatures — splitmix64 family with pinned
+                    seeds; the estimator property is pytest-verified and
+                    every downstream stage (band counts, candidates,
+                    clusters) IS value-checked;
+                  * simhash_sketch — 64-bit Charikar bit-majority sketch,
+                    same reasoning.
+                 LSH-dependent queries (dedup_clusters/rollup/edges,
+                 ann_cosine) use the EXACT computation as oracle: at the
+                 pinned configs on this corpus the approximate stage has
+                 measured recall 1.0 (audited by lsh_missed_pairs and
+                 tests), so exact SQL is a true oracle for them.
 
 Column names/types are aligned pairwise between Spark and SQL (driver
 compares order-insensitive value hashes after sorting columns by name).
@@ -30,7 +40,7 @@ from lsh_hdc_spark.functions.textstats import (
 from lsh_hdc_spark.functions.sign import signed
 from lsh_hdc_spark.operators.cc import connected_components
 from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
-from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk
+from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk_bruteforce
 from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs, shingle_rows
 from lsh_hdc_spark.operators.pairs import band_key_rows, candidate_pairs
 from lsh_hdc_spark.operators.substring import substring_pairs
@@ -71,7 +81,14 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _q_dedup_rollup(spark, sf_dir):
-    return cluster_rollup(run_pipeline(_docs(spark, sf_dir), CFG), CFG.id_col)
+    roll = cluster_rollup(run_pipeline(_docs(spark, sf_dir), CFG), CFG.id_col)
+    return roll.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.concat_ws(
+            ",", F.transform("member_ids", lambda x: x.cast("string"))
+        ).alias("member_ids"),
+    )
 
 
 def _q_dedup_clusters_exact(spark, sf_dir):
@@ -170,12 +187,63 @@ def _q_minhash_signatures(spark, sf_dir):
     return s.select("doc_id", F.posexplode("sig").alias("k", "sig_k"))
 
 
-def _q_band_keys(spark, sf_dir):
-    return band_key_rows(signed(_docs(spark, sf_dir), CFG), CFG)
+def _q_band_key_stats(spark, sf_dir):
+    """Band-key emission contract (op 8): every doc with >=1 token emits
+    exactly CFG.bands keys (the kmin=1 short-doc fallback guarantees a
+    full signature); docs with no tokens emit none.  Key VALUES are
+    hash-family-dependent, but these COUNTS are oracle-able."""
+    keys = band_key_rows(signed(_docs(spark, sf_dir), CFG), CFG)
+    per = keys.groupBy("doc_id").agg(F.count("*").alias("n_keys"))
+    return per.agg(
+        F.count("*").alias("n_docs_with_keys"),
+        F.sum("n_keys").alias("n_keys_total"),
+        F.min("n_keys").alias("min_keys"),
+        F.max("n_keys").alias("max_keys"),
+    )
 
 
-def _q_candidate_pairs_lsh(spark, sf_dir):
-    return candidate_pairs(signed(_docs(spark, sf_dir), CFG), CFG)
+def _q_lsh_missed_pairs(spark, sf_dir):
+    """Recall audit of the LSH candidate stage (op 9): ONE row with the
+    exact-Jaccard pair count at the parity threshold and how many of those
+    pairs banding failed to surface.  The oracle asserts n_missed = 0 —
+    the premise the flagship dedup_clusters oracle rests on."""
+    df = _docs(spark, sf_dir)
+    exact = exact_jaccard_pairs(df, CFG, threshold=float(T_PARITY)).select(
+        "src", "dst"
+    )
+    cand = candidate_pairs(signed(df, CFG), CFG)
+    missed = exact.join(cand, ["src", "dst"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
+def _q_dedup_edges(spark, sf_dir):
+    """The pipeline's verified edge stage (ops 9-11 fused): LSH candidates
+    -> exact-Jaccard >= parity threshold.  Oracle = the exact pair graph
+    (same LSH-recall-1 premise as dedup_clusters, audited by
+    lsh_missed_pairs)."""
+    from lsh_hdc_spark.plans.pipeline import dedup_edges
+
+    e = dedup_edges(_docs(spark, sf_dir), CFG)
+    return e.select("src", "dst", F.round("jaccard", 6).alias("jaccard"))
+
+
+#: content-filter demo predicate: roughly the upper half by length
+_FILTER = "n_chars >= 300"
+
+
+def _q_dedup_clusters_filtered(spark, sf_dir):
+    """op 15: rows failing cfg.content_filter never reach signing and come
+    back with NULL cluster_id/cluster_size."""
+    labels = run_pipeline(
+        _docs(spark, sf_dir), CFG.with_(content_filter=_FILTER)
+    )
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
 
 
 def _q_simhash_sketch(spark, sf_dir):
@@ -192,14 +260,79 @@ def _q_substring_pairs(spark, sf_dir):
     return out.select("src", "dst")
 
 
+def _q_dedup_clusters_sketch(spark, sf_dir):
+    """op 10 end-to-end: same pipeline with the b-bit sketch Hamming
+    pre-filter enabled (sketch_bits=12, max_hamming=5).  On this corpus the
+    planted near-dups (J >= ~0.9) flip each parity bit w.p. ~0.05, so
+    P(Hamming > 5) < 2e-5 per pair — the filter must not change the
+    clustering, hence the same exact-CC oracle as dedup_clusters."""
+    cfg = CFG.with_(sketch_bits=12, max_hamming=5)
+    labels = run_pipeline(_docs(spark, sf_dir), cfg)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _q_dedup_min_support(spark, sf_dir):
+    """op 13: clusters below min_support=2 get NULL cluster_id (noise
+    suppression) — singletons NULL, planted families keep their label."""
+    labels = run_pipeline(_docs(spark, sf_dir), CFG.with_(min_support=2))
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _q_clustering_metrics(spark, sf_dir):
+    """Cluster-quality metrics (ops 16-19) over two categorical labelings
+    of the documents table (true=lang, pred=source): distributed
+    pair-confusion counts (exact ints, decimal-safe at scale) plus the
+    derived pair scores in integer micro-units.  Value-checked against a
+    pure-SQL contingency computation."""
+    import math
+
+    from lsh_hdc_spark.operators.clustering_metrics import (
+        pair_confusion,
+        pair_metrics,
+    )
+
+    pc = pair_confusion(_docs(spark, sf_dir), "lang", "source")
+    m = pair_metrics(pc)
+
+    def mic(x: float) -> int:
+        return int(math.floor(x * 1e6 + 0.5))
+
+    row = (
+        pc.n_items, pc.tp, pc.fp, pc.fn, pc.tn,
+        mic(m["pair_precision"]), mic(m["pair_recall"]), mic(m["pair_f1"]),
+        mic(m["adjusted_rand"]), mic(m["cohen_kappa"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_items long, tp long, fp long, fn long, tn long, "
+        "precision_micros long, recall_micros long, f1_micros long, "
+        "ari_micros long, kappa_micros long",
+    )
+
+
 def _q_knn_cosine(spark, sf_dir):
-    return cosine_topk(_embs(spark, sf_dir), k=5).select(
+    return cosine_topk_bruteforce(_embs(spark, sf_dir), k=5).select(
         "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
 
 
 def _q_ann_cosine(spark, sf_dir):
-    return ann_topk(_embs(spark, sf_dir), k=5)
+    """LSH-bucketed approximate top-k, run at a validation config whose
+    banding (32 bands x 2 bits) has measured recall 1.0 on this corpus —
+    so the exact-kNN SQL is a true oracle for the WHOLE ANN machinery
+    (hyperplane signs, band bucketing, bucket join, dot products,
+    tie-breaks).  Production configs use finer buckets (fewer bands, more
+    bits) and trade recall for cost; drops are surfaced via
+    ann_bucket_stats, never silently."""
+    return ann_topk(_embs(spark, sf_dir), k=5, n_bits=64, bands=32)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -217,8 +350,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_counts": _q_lang_counts,
         "top_terms": _q_top_terms,
         "minhash_signatures": _q_minhash_signatures,
-        "band_keys": _q_band_keys,
-        "candidate_pairs_lsh": _q_candidate_pairs_lsh,
+        "band_key_stats": _q_band_key_stats,
+        "lsh_missed_pairs": _q_lsh_missed_pairs,
+        "dedup_edges": _q_dedup_edges,
+        "dedup_clusters_filtered": _q_dedup_clusters_filtered,
+        "dedup_clusters_sketch": _q_dedup_clusters_sketch,
+        "dedup_min_support": _q_dedup_min_support,
+        "clustering_metrics": _q_clustering_metrics,
         "simhash_sketch": _q_simhash_sketch,
         "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
@@ -241,10 +379,17 @@ toks AS (
 )
 """
 
-#: word 3-gram shingles with the short-doc fallback (span=3, unique=true,
-#: kmin=1) — mirrors Shingler semantics (SURVEY.md §2.5.1)
-_SHINGLES = f"""
-{_TOKS},
+def _shingles_sql(where: str = "") -> str:
+    """Word 3-gram shingles with the short-doc fallback (span=3,
+    unique=true, kmin=1) — mirrors Shingler semantics (SURVEY.md §2.5.1).
+    `where` restricts the source rows (content-filter oracle)."""
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS ts
+  FROM documents {where}
+),
 sh_idx AS (
   SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
   FROM toks WHERE len(ts) >= 3
@@ -257,6 +402,9 @@ shingles AS (
   FROM toks WHERE len(ts) BETWEEN 1 AND 2
 )
 """
+
+
+_SHINGLES = _shingles_sql()
 
 _PAIR_CORE = f"""
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
@@ -275,6 +423,26 @@ pairs AS (
 )
 """
 
+#: exact-Jaccard connected components at the parity threshold (shared by the
+#: three flagship oracles).  The LSH pipeline's oracle is the EXACT pair
+#: graph: at the pinned config on this corpus the banding S-curve separates
+#: planted near-dups (J >= ~0.9, P(candidate) > 0.999) from background pairs
+#: (J ~ 0) with enough margin that LSH recall is 1.0 — asserted continuously
+#: by tests/test_entry.py and the lsh_missed_pairs query.
+_CC_CTE = f"""
+edges AS (
+  SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
+  UNION ALL
+  SELECT dst, src FROM pairs WHERE jaccard >= {T_PARITY}
+),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+labs AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
+"""
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 
 
@@ -291,18 +459,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE jaccard >= {T_PAIRS}
         """,
         "dedup_clusters_exact": f"""
-            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
-            edges AS (
-              SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
-              UNION ALL
-              SELECT dst, src FROM pairs WHERE jaccard >= {T_PARITY}
-            ),
-            reach(id, lab) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id FROM labs
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
+        """,
+        "dedup_rollup": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT cluster_id, count(*) AS cluster_size,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS member_ids
+            FROM labs GROUP BY cluster_id HAVING count(*) >= 2
+        """,
+        "dedup_clusters_sketch": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
+        """,
+        "dedup_min_support": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE},
+            sized AS (
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM labs
             )
-            SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+            SELECT doc_id,
+                   CASE WHEN cluster_size >= 2 THEN cluster_id END AS cluster_id,
+                   cluster_size
+            FROM sized
         """,
         "doc_stats": f"""
             WITH {_TOKS}
@@ -392,7 +580,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
+        "band_key_stats": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            )
+            SELECT count(*) AS n_docs_with_keys,
+                   CAST(count(*) * {CFG.bands} AS BIGINT) AS n_keys_total,
+                   CAST({CFG.bands} AS BIGINT) AS min_keys,
+                   CAST({CFG.bands} AS BIGINT) AS max_keys
+            FROM toks WHERE len(ts) >= 1
+        """,
+        "lsh_missed_pairs": f"""
+            WITH {_SHINGLES}, {_PAIR_CORE}
+            SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_missed
+            FROM pairs WHERE jaccard >= {T_PARITY}
+        """,
+        "dedup_edges": f"""
+            WITH {_SHINGLES}, {_PAIR_CORE}
+            SELECT src, dst, round(jaccard, 6) AS jaccard
+            FROM pairs WHERE jaccard >= {T_PARITY}
+        """,
+        "dedup_clusters_filtered": f"""
+            WITH RECURSIVE {_shingles_sql(f"WHERE {_FILTER}")}, {_PAIR_CORE},
+            edges AS (
+              SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
+              UNION ALL
+              SELECT dst, src FROM pairs WHERE jaccard >= {T_PARITY}
+            ),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents WHERE {_FILTER}
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            labs AS (
+              SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+            ),
+            sized AS (
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM labs
+            )
+            SELECT d.doc_id, s.cluster_id, s.cluster_size
+            FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+        """,
+        "clustering_metrics": """
+            WITH ct AS (
+              SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+            ),
+            tots AS (
+              SELECT
+                (SELECT sum(n) FROM ct) AS n_items,
+                (SELECT sum(n * (n - 1)) FROM ct) // 2 AS tp,
+                (SELECT sum(a * (a - 1))
+                 FROM (SELECT sum(n) AS a FROM ct GROUP BY lang)) // 2 AS tpfn,
+                (SELECT sum(b * (b - 1))
+                 FROM (SELECT sum(n) AS b FROM ct GROUP BY source)) // 2 AS tpfp
+            ),
+            pc AS (
+              SELECT n_items, tp,
+                     tpfp - tp AS fp,
+                     tpfn - tp AS fn,
+                     n_items * (n_items - 1) // 2 - tpfn - tpfp + tp AS tn
+              FROM tots
+            )
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                   CAST(floor(tp / (tp + fp) * 1e6 + 0.5) AS BIGINT)
+                     AS precision_micros,
+                   CAST(floor(tp / (tp + fn) * 1e6 + 0.5) AS BIGINT)
+                     AS recall_micros,
+                   CAST(floor(2 * tp / (2 * tp + fp + fn) * 1e6 + 0.5) AS BIGINT)
+                     AS f1_micros,
+                   CAST(floor(2 * (tp * tn - fn * fp)
+                              / ((tp + fn) * (fn + tn) + (tp + fp) * (fp + tn))
+                              * 1e6 + 0.5) AS BIGINT) AS ari_micros,
+                   CAST(floor(((tp + fp + fn + tn) * (tp + tn)
+                               - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+                              / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                                 - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+                              * 1e6 + 0.5) AS BIGINT) AS kappa_micros
+            FROM pc
+        """,
         "knn_cosine": """
+            WITH unit AS (
+              SELECT vec_id,
+                     [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))
+                      for x in embedding::DOUBLE[]] AS u
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.u, b.u) AS cos_raw
+              FROM unit a JOIN unit b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 5
+        """,
+        "ann_cosine": """
             WITH unit AS (
               SELECT vec_id,
                      [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))

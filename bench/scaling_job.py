@@ -41,9 +41,17 @@ def main() -> None:
         "report per-phase wall time (NOT the official timed protocol — "
         "the extra materializations change the job)",
     )
+    ap.add_argument(
+        "--tier-stats",
+        action="store_true",
+        help="also compute and print the hot-band bucket tier census "
+        "(untimed; input-dependent, not run-dependent)",
+    )
     args = ap.parse_args()
 
-    spark = (
+    import os
+
+    builder = (
         SparkSession.builder.appName("scaling-job")
         .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -51,8 +59,23 @@ def main() -> None:
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
-        .getOrCreate()
+        # verify-stage rows carry ~1.6 KB hashed-shingle arrays; sorting fat
+        # rows is what SMJ spends its time on — hash joins skip the sort
+        # (measured 73 s -> 26 s on the 400k-clip verify stage)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # the clips files are dominated by the (pruned-out) bytes column, so
+        # default 128 MB splits starve the sign stage of input parallelism
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
+    # Shuffle files on tmpfs: this sandbox has ONE virtio disk whose
+    # throughput anti-scales with writer concurrency (BENCH/BASELINE.md),
+    # which would corrupt a CPU-scaling measurement; a real 4N-executor
+    # cluster adds local disks with the executors.  Same setting at both
+    # parallelism levels.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from lsh_hdc_spark.config import CLIPS
@@ -69,11 +92,19 @@ def main() -> None:
     labels.write.mode("overwrite").parquet(args.out)
     wall = time.monotonic() - t0
     n = spark.read.parquet(args.out).count()
-    print(
-        json.dumps(
-            {"wall_s": round(wall, 2), "rows": n, "clips_per_sec": round(n / wall, 1)}
-        )
-    )
+    rec = {"wall_s": round(wall, 2), "rows": n, "clips_per_sec": round(n / wall, 1)}
+    if args.tier_stats:
+        # hot-band tier census (untimed): drops must never go unreported
+        from lsh_hdc_spark.plans.pipeline import pipeline_stats
+
+        rec["bucket_tiers"] = {
+            r["tier"]: {"n_buckets": r["n_buckets"], "n_rows": r["n_rows"],
+                        "max_bucket": r["max_bucket"]}
+            for r in pipeline_stats(
+                clips.select(CLIPS.id_col, CLIPS.text_col), CLIPS
+            ).collect()
+        }
+    print(json.dumps(rec))
     spark.stop()
 
 

@@ -82,8 +82,20 @@ class DedupConfig:
     scheme: str = "a"           # 'a' = disjoint contiguous bands
 
     # ---- sketch filter (ops 6, 10) ----------------------------------------
-    sketch_bits: int = 0        # 0 disables the b-bit sketch pre-filter
+    #: b-bit MinHash sketch width; 0 disables the Hamming pre-filter.  When
+    #: > 0, the sketch packs the parity bit of the first `sketch_bits`
+    #: signature rows and `max_hamming` is applied over exactly that many
+    #: bits (requires sketch_bits <= min(width, 64)).
+    sketch_bits: int = 0
     max_hamming: int = 3
+
+    # ---- content filter (op 15) --------------------------------------------
+    #: SQL boolean expression deciding whether a row participates in
+    #: clustering at all (reference: ``HDClustering(content_filter=...)``
+    #: [M]).  Rows failing it never reach signing; they appear in the
+    #: output with NULL cluster_id/cluster_size.  None = everything
+    #: participates.
+    content_filter: str | None = None
 
     # ---- verification + clustering (ops 11-13) ----------------------------
     jaccard_threshold: float | None = None  # None -> get_threshold(r, b)
@@ -117,6 +129,13 @@ class DedupConfig:
             )
         if self.signer == "simhash" and self.width > 64:
             raise ValueError("simhash bit depth must be <= 64")
+        if not 0 <= self.sketch_bits <= 64:
+            raise ValueError("sketch_bits must be in [0, 64]")
+        if self.sketch_bits > self.width:
+            raise ValueError(
+                f"sketch_bits {self.sketch_bits} cannot exceed signature "
+                f"width {self.width}"
+            )
         if self.width % self.bandwidth != 0:
             raise ValueError(
                 f"bandwidth (rows per band) {self.bandwidth} must divide "

@@ -223,6 +223,21 @@ def word_shingle_hashes(texts: pd.Series, cfg: DedupConfig) -> tuple[np.ndarray,
     return out, nwin
 
 
+def _dedup_segments(
+    flat: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment unique of flat hash values (sorted within segment);
+    returns (flat', lens')."""
+    if flat.size == 0:
+        return flat, lens
+    seg = np.repeat(np.arange(lens.size), lens)
+    order = np.lexsort((flat, seg))
+    fs, ss = flat[order], seg[order]
+    keep = np.ones(fs.size, dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ss[1:] != ss[:-1])
+    return fs[keep], np.bincount(ss[keep], minlength=lens.size).astype(np.int64)
+
+
 def char_shingle_hashes(texts: pd.Series, cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     """(flat_u64, per-doc shingle counts) for char mode: poly+mix64 of each
     shingle substring (distinct per doc when cfg.unique)."""
@@ -242,6 +257,12 @@ def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
     n = len(texts)
     if cfg.shingle_mode == "word":
         flat, lens = word_shingle_hashes(texts, cfg)
+        if cfg.unique and cfg.signer == "simhash":
+            # word_shingle_hashes keeps duplicate shingles (harmless for
+            # MinHash minima and the array_distinct Jaccard verify), but
+            # SimHash's bit-majority vote counts multiplicity — honor
+            # cfg.unique here so word mode matches shingles_of and char mode
+            flat, lens = _dedup_segments(flat, lens)
     else:
         flat, lens = char_shingle_hashes(texts, cfg)
     offsets = np.zeros(n, dtype=np.int64)
@@ -264,7 +285,11 @@ def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
         if cfg.signer == "minhash":
             sigm = _minhash_matrix(flat, starts_nz, kseeds)
             keys = _band_keys(sigm, r, band_seeds)
-            nbits = min(width, 64)
+            # sketch width follows cfg.sketch_bits when the Hamming
+            # pre-filter is enabled (op 10), so max_hamming is applied over
+            # exactly the configured bit count; otherwise use the full
+            # signature (informational column only)
+            nbits = min(cfg.sketch_bits or width, width, 64)
             parity = (sigm[:, :nbits] & np.uint64(1)).astype(np.uint64)
             sketch = (parity << np.arange(nbits, dtype=np.uint64)[None, :]).sum(
                 axis=1, dtype=np.uint64

@@ -132,7 +132,10 @@ def entropy_metrics(df: DataFrame, true_col: str, pred_col: str) -> dict[str, fl
         def _ent(counts: DataFrame, col: str) -> float:
             c = F.col(col).cast("double")
             s = counts.agg(F.sum(c * F.log(c)).alias("s")).collect()[0]["s"]
-            return math.log(n) - (s or 0.0) / n
+            # clamp: a single cluster gives H = 0 exactly in math but a
+            # tiny negative in floats (ln(n) - n*ln(n)/n), which would
+            # poison the sqrt below
+            return max(math.log(n) - (s or 0.0) / n, 0.0)
 
         h_true = _ent(a, "a")
         h_pred = _ent(b, "b")

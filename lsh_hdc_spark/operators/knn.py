@@ -72,12 +72,16 @@ def _mirror(sims: DataFrame) -> DataFrame:
     )
 
 
-def cosine_topk(
+def cosine_topk_bruteforce(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(vec_id, neighbor_id, cosine, rank): exact top-k cosine neighbors per
-    vector (self excluded).  Brute force — O(n^2/2) similarity evaluations;
-    at scale use ann_topk and verify a sample against this."""
+    vector (self excluded).
+
+    BRUTE FORCE — the theta-join plans as a nested-loop/cartesian product,
+    O(n^2/2) similarity evaluations.  This is the VERIFY/ORACLE path only
+    (named accordingly so it cannot be mistaken for the product path); at
+    scale use ann_topk and verify a recall sample against this."""
     unit = _unit_rows(df, id_col, vec_col)
     a = unit.select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("va"))
     b = unit.select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("vb"))
@@ -100,35 +104,33 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return g.reshape(n_bits, dim)
 
 
-def ann_topk(
+def _keyed_rows(
     df: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_bits: int = 64,
-    bands: int = 8,
-    seed: int = 0xA22,
-    bucket_cap: int = 2000,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    bands: int,
+    seed: int,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors: random-hyperplane signature of
-    n_bits split into `bands` band keys (8 bands x 8 bits default: ~94%
-    candidate probability at cosine 0.9, fine buckets); candidate pairs
-    share >=1 band; exact cosine is computed only within buckets.  Buckets
-    above bucket_cap are dropped (hot-bucket guard, same policy as the text
-    pipeline).  Unit vectors are joined back AFTER the distinct candidate-id
-    set is formed, so the band-key shuffles move only (id, key) rows."""
+    """(id, _unit, bkeys): unit vectors + per-band hyperplane-sign band
+    keys.  The hyperplane matrix is built lazily inside the UDF from the
+    first Arrow batch's vector width — deterministic per (dim, n_bits,
+    seed), so every worker derives the identical planes and NO driver-side
+    action is needed to probe the dimension."""
     if n_bits % bands != 0:
         raise ValueError("bands must divide n_bits")
     r = n_bits // bands
-    first = df.select(vec_col).first()
-    dim = len(first[0])
-    planes = _hyperplanes(dim, n_bits, seed).T  # (dim, n_bits)
     bseeds = hash_seeds(bands, seed ^ 0xB17)
     id_t = df.schema[id_col].dataType.simpleString()
 
     def _keys(batches):
+        planes = None
         for pdf in batches:
+            if not len(pdf):
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _hyperplanes(m.shape[1], n_bits, seed).T  # (dim, n_bits)
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
             u = m / n
@@ -150,9 +152,65 @@ def ann_topk(
                 }
             )
 
-    keyed_rows = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         _keys, f"{id_col} {id_t}, _unit array<double>, bkeys array<long>"
     )
+
+
+def ann_bucket_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 0xA22,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """(tier, n_buckets, n_rows, max_bucket) census of the ANN hash buckets
+    — the never-drop-silently policy metric, mirroring
+    operators/pairs.py::bucket_stats: tier 'dropped' counts buckets above
+    bucket_cap (excluded from the search), 'cold' the searched ones,
+    'singleton' the unpaired ones."""
+    keyed = _keyed_rows(df, id_col, vec_col, n_bits, bands, seed).select(
+        id_col, F.explode("bkeys").alias("bkey")
+    )
+    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bucket_size"))
+    tier = (
+        F.when(F.col("bucket_size") < 2, F.lit("singleton"))
+        .when(F.col("bucket_size") <= bucket_cap, F.lit("cold"))
+        .otherwise(F.lit("dropped"))
+    )
+    return (
+        sizes.select(tier.alias("tier"), "bucket_size")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("bucket_size").alias("n_rows"),
+            F.max("bucket_size").alias("max_bucket"),
+        )
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 0xA22,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: random-hyperplane signature of
+    n_bits split into `bands` band keys (8 bands x 8 bits default: ~94%
+    candidate probability at cosine 0.9, fine buckets); candidate pairs
+    share >=1 band; exact cosine is computed only within buckets.  Buckets
+    above bucket_cap are excluded (hot-bucket guard, same policy as the
+    text pipeline) — run ``ann_bucket_stats`` with the same parameters to
+    COUNT what that guard excluded; drops must never go unreported.  Unit
+    vectors are joined back AFTER the distinct candidate-id set is formed,
+    so the band-key shuffles move only (id, key) rows."""
+    keyed_rows = _keyed_rows(df, id_col, vec_col, n_bits, bands, seed)
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)

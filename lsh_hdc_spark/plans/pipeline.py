@@ -41,17 +41,25 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     partitioning-invariant); singletons are their own cluster; components
     below cfg.min_support get NULL cluster_id.  When
     cfg.substring_min_len is set, exact-substring-duplicate pairs (op 23)
-    are OR-merged into the edge list before clustering.
+    are OR-merged into the edge list before clustering.  When
+    cfg.content_filter is set (op 15), rows failing the predicate never
+    reach signing (the filter is pushed into the scan by Catalyst) and
+    come back with NULL cluster_id/cluster_size.
     """
-    edges = dedup_edges(df, cfg).select("src", "dst")
+    base = df.filter(F.expr(cfg.content_filter)) if cfg.content_filter else df
+    edges = dedup_edges(base, cfg).select("src", "dst")
     if cfg.substring_min_len:
         from ..operators.substring import substring_pairs
 
         sub = substring_pairs(
-            df, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
+            base, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
         ).select("src", "dst")
         edges = edges.unionByName(sub)
-    return assign_clusters(df, edges, cfg.id_col, cfg.min_support)
+    labels = assign_clusters(base, edges, cfg.id_col, cfg.min_support)
+    if cfg.content_filter:
+        # excluded rows are part of the OUTPUT but not of any cluster
+        labels = df.select(cfg.id_col).join(labels, cfg.id_col, "left")
+    return labels
 
 
 def cluster_rollup(labels: DataFrame, id_col: str) -> DataFrame:

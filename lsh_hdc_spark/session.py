@@ -42,6 +42,11 @@ def get_spark(
         # 8MB keeps whole-machine parallelism while still merging dust
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # verify-stage rows carry ~1.6 KB hashed-shingle arrays; SMJ spends
+        # its time sorting fat rows — hash joins skip the sort (measured
+        # 73 s -> 26 s on a 400k-doc verify stage).  AQE still upgrades to
+        # broadcast when a side is small.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio-free dedup stages are narrow rows; bigger Arrow batches

@@ -6,7 +6,7 @@ correct)."""
 import numpy as np
 import pytest
 
-from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk
+from lsh_hdc_spark.operators.knn import ann_bucket_stats, ann_topk, cosine_topk_bruteforce
 
 
 def _planted(rng, n_base=150, dups=2, dim=32, noise=0.08):
@@ -42,7 +42,7 @@ def test_cosine_topk_matches_numpy(spark):
         "vec_id long, embedding array<float>",
     )
     got = {
-        (r.vec_id, r.rank): r.neighbor_id for r in cosine_topk(df, 3).collect()
+        (r.vec_id, r.rank): r.neighbor_id for r in cosine_topk_bruteforce(df, 3).collect()
     }
     # numpy: float32 cast to match Spark's array<float> storage
     m32 = m.astype(np.float32).astype(np.float64)
@@ -58,7 +58,7 @@ def test_cosine_topk_matches_numpy(spark):
 def test_ann_recall_on_planted_neighbors(planted_df):
     k = 2
     exact = {
-        (r.vec_id, r.neighbor_id) for r in cosine_topk(planted_df, k).collect()
+        (r.vec_id, r.neighbor_id) for r in cosine_topk_bruteforce(planted_df, k).collect()
     }
     approx = {
         (r.vec_id, r.neighbor_id) for r in ann_topk(planted_df, k).collect()

@@ -93,6 +93,34 @@ def test_sketch_prefilter_blocks_far_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_skewed_corpus_end_to_end(spark):
+    """SURVEY §7.4.1 skew fixture through the REAL pipeline: thousands of
+    docs sharing every band key (identical boilerplate text).  The salted-
+    anchor tier must bound pair count at O(n * fanout) instead of O(n^2),
+    preserve connectivity (ONE cluster), and surface the hot buckets in the
+    tier census."""
+    from lsh_hdc_spark.plans.pipeline import pipeline_stats, run_pipeline
+
+    n = 3000
+    boiler = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(n)], "doc_id long, text string"
+    )
+    cfg = DedupConfig()
+    assert cfg.pair_cap < n <= cfg.drop_cap  # the fixture hits the hot tier
+    npairs = candidate_pairs(signed(df, cfg), cfg).count()
+    assert 0 < npairs <= cfg.bands * cfg.anchor_fanout * n  # not O(n^2)
+    stats = {r.tier: r for r in pipeline_stats(df, cfg).collect()}
+    assert stats["hot_anchor"].n_buckets == cfg.bands
+    assert stats["hot_anchor"].max_bucket == n
+    labels = run_pipeline(df, cfg).collect()
+    assert len({r.cluster_id for r in labels}) == 1  # connectivity preserved
+    assert all(r.cluster_size == n for r in labels)
+
+
 def test_band_key_rows_skips_empty(spark):
     cfg = DedupConfig()
     df = spark.createDataFrame([(1, ""), (2, "a b c d")], "doc_id long, text string")

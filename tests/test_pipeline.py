@@ -65,6 +65,34 @@ def test_deterministic_across_partitioning(corpus):
     assert l1 == l2
 
 
+def test_content_filter_excludes_rows(spark):
+    """op 15: rows failing cfg.content_filter never participate — they get
+    NULL cluster_id/cluster_size, and clusters over the survivors are
+    identical to running the pipeline on the pre-filtered frame."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "short"),
+        (4, "completely different text about distributed systems and joins"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    cfg = DedupConfig(
+        id_col="id", text_col="content", content_filter="length(content) > 10"
+    )
+    got = {r.id: (r.cluster_id, r.cluster_size) for r in run_pipeline(df, cfg).collect()}
+    assert set(got) == {1, 2, 3, 4}  # excluded rows still in the output
+    assert got[3] == (None, None)  # filtered out: no cluster
+    assert got[1] == got[2] and got[1][1] == 2  # survivors co-cluster
+    assert got[4][1] == 1
+    # equivalence with pre-filtering by hand
+    by_hand = run_pipeline(
+        df.filter("length(content) > 10"), cfg.with_(content_filter=None)
+    )
+    assert {r.id: (r.cluster_id, r.cluster_size) for r in by_hand.collect()} == {
+        k: v for k, v in got.items() if k != 3
+    }
+
+
 def test_rollup_shape(corpus):
     _, df = corpus
     roll = cluster_rollup(run_pipeline(df, CFG), "id")
