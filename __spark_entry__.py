@@ -286,6 +286,57 @@ def _q_dedup_min_support(spark, sf_dir):
     )
 
 
+#: embedding near-dup threshold (the sf corpora top out at cosine ~0.51,
+#: so 0.45 yields a small non-vacuous edge set)
+T_COSINE = "0.45"
+
+
+def _q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-cosine near-duplicate clustering: LSH-bucketed candidate
+    pairs -> exact-cosine >= threshold -> connected components — the
+    text dedup pipeline's shape in vector space.  Oracle: exact cosine
+    pair graph + recursive CTE (banding recall ~1 at this config)."""
+    from lsh_hdc_spark.operators.knn import cosine_dup_edges
+
+    embs = _embs(spark, sf_dir)
+    edges = cosine_dup_edges(embs, threshold=float(T_COSINE)).select("src", "dst")
+    labels = connected_components(edges)
+    return (
+        embs.select("vec_id")
+        .join(labels.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def _q_roc_auc(spark, sf_dir):
+    """Ranking eval (op 20): Mann-Whitney AUC of the quality score against
+    the lang=='en' labeling — a fixed, fully SQL-checkable (score, label)
+    ranking that exercises the rank-sum + tie-correction machinery end to
+    end (the VALUE is near chance; the oracle checks the computation, and
+    discriminative cases are pytest-asserted in test_ranking.py).
+    Exact-integer rank sums; one float division mirrored term-for-term in
+    the oracle."""
+    import math
+
+    from lsh_hdc_spark.operators.ranking import roc_auc_counts
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_micros(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "quality_micros", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    u2, p, n = roc_auc_counts(scored, "quality_micros", "is_en")
+    auc_micros = int(math.floor(u2 / (2.0 * p * n) * 1e6 + 0.5))
+    return spark.createDataFrame(
+        [(u2, p, n, auc_micros)],
+        "u2 long, n_pos long, n_neg long, auc_micros long",
+    )
+
+
 def _q_clustering_metrics(spark, sf_dir):
     """Cluster-quality metrics (ops 16-19) over two categorical labelings
     of the documents table (true=lang, pred=source): distributed
@@ -357,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_sketch": _q_dedup_clusters_sketch,
         "dedup_min_support": _q_dedup_min_support,
         "clustering_metrics": _q_clustering_metrics,
+        "roc_auc": _q_roc_auc,
+        "embedding_dup_clusters": _q_embedding_dup_clusters,
         "simhash_sketch": _q_simhash_sketch,
         "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
@@ -443,6 +496,30 @@ reach(id, lab) AS (
 labs AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
 """
 
+#: quality composite in integer micro-units (see textstats.quality_micros);
+#: requires {_TOKS} in scope
+_QMICROS = """
+qstats AS (
+  SELECT d.doc_id,
+         len(ts) AS n_tokens,
+         len(list_distinct(ts)) AS n_distinct,
+         length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
+           / greatest(length(d.text), 1)::DOUBLE AS alpha_ratio
+  FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+),
+qmicros AS (
+  SELECT doc_id,
+         CAST(floor(((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                           THEN 1.0 ELSE 0.3 END) * 0.4
+                     + least(n_distinct::DOUBLE
+                             / greatest(n_tokens, 1)::DOUBLE * 2,
+                             1.0) * 0.3
+                     + alpha_ratio * 0.3) * 1e6 + 0.5) AS BIGINT)
+           AS quality_micros
+  FROM qstats
+)
+"""
+
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 
 
@@ -507,24 +584,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN toks ON toks.doc_id = d.doc_id
         """,
         "doc_quality": f"""
-            WITH {_TOKS},
-            st AS (
-              SELECT d.doc_id,
-                     len(ts) AS n_tokens,
-                     len(list_distinct(ts)) AS n_distinct,
-                     length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
-                       / greatest(length(d.text), 1)::DOUBLE AS alpha_ratio
-              FROM documents d JOIN toks ON toks.doc_id = d.doc_id
+            WITH {_TOKS}, {_QMICROS}
+            SELECT doc_id, quality_micros FROM qmicros
+        """,
+        "roc_auc": f"""
+            WITH {_TOKS}, {_QMICROS},
+            j AS (
+              SELECT m.quality_micros AS score,
+                     (d.lang = 'en')::INT AS lab
+              FROM qmicros m JOIN documents d ON d.doc_id = m.doc_id
+            ),
+            census AS (
+              SELECT score, sum(lab) AS n_pos, sum(1 - lab) AS n_neg
+              FROM j GROUP BY score
+            ),
+            cum AS (
+              SELECT n_pos, n_neg,
+                     coalesce(sum(n_neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS nb
+              FROM census
             )
-            SELECT doc_id,
-                   CAST(floor(((CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
-                                     THEN 1.0 ELSE 0.3 END) * 0.4
-                               + least(n_distinct::DOUBLE
-                                       / greatest(n_tokens, 1)::DOUBLE * 2,
-                                       1.0) * 0.3
-                               + alpha_ratio * 0.3) * 1e6 + 0.5) AS BIGINT)
-                     AS quality_micros
-            FROM st
+            SELECT CAST(sum(n_pos * (2 * nb + n_neg)) AS BIGINT) AS u2,
+                   CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                   CAST(floor(sum(n_pos * (2 * nb + n_neg))
+                              / (2.0 * sum(n_pos) * sum(n_neg)) * 1e6 + 0.5)
+                        AS BIGINT) AS auc_micros
+            FROM cum
         """,
         "language_id": f"""
             WITH {_TOKS},
@@ -682,6 +769,30 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM sims
             QUALIFY rank <= 5
+        """,
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE unit AS (
+              SELECT vec_id,
+                     [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))
+                      for x in embedding::DOUBLE[]] AS u
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.u, b.u) >= {T_COSINE}
+            ),
+            edges AS (
+              SELECT src, dst FROM pairs
+              UNION ALL
+              SELECT dst, src FROM pairs
+            ),
+            reach(id, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
         """,
         "ann_cosine": """
             WITH unit AS (

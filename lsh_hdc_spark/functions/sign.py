@@ -78,8 +78,13 @@ def shingles_of(text: str | None, cfg: DedupConfig) -> list[str]:
             out = []
     else:
         s = _WS_RE.sub(" ", text.lower()).strip()
-        if len(s) >= cfg.span:
-            out = [s[i : i + cfg.span] for i in range(len(s) - cfg.span + 1)]
+        stride = cfg.skip + 1
+        reach = (cfg.span - 1) * stride + 1
+        if len(s) >= reach:
+            out = [
+                "".join(s[i + j * stride] for j in range(cfg.span))
+                for i in range(len(s) - reach + 1)
+            ]
         elif s and cfg.kmin >= 1:
             out = [s]
         else:

@@ -85,22 +85,39 @@ def word_shingles(
 def char_shingles(
     text: Column,
     span: int = 4,
+    skip: int = 0,
     unique: bool = True,
     kmin: int = 1,
     normalizer: NormalizerFn = normalize,
 ) -> Column:
     """array<string> of char n-gram shingles over the whitespace-collapsed,
-    normalized text."""
+    normalized text.  Window i takes chars [i, i+stride, ...,
+    i+(span-1)*stride] with stride = skip+1 (contiguous substrings when
+    skip = 0)."""
     s = F.trim(F.regexp_replace(normalizer(text), r"\s+", " "))
     n = F.length(s)
-    window = F.transform(
-        F.sequence(F.lit(1), n - F.lit(span - 1)),
-        lambda i: F.substring(s, i, F.lit(span)),
-    )
+    stride = skip + 1
+    reach = (span - 1) * stride + 1
+    if skip == 0:
+        window = F.transform(
+            F.sequence(F.lit(1), n - F.lit(span - 1)),
+            lambda i: F.substring(s, i, F.lit(span)),
+        )
+    else:
+        window = F.transform(
+            F.sequence(F.lit(1), n - F.lit(reach - 1)),
+            lambda i: F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(span - 1)),
+                    lambda j: F.substring(s, i + j * F.lit(stride), F.lit(1)),
+                ),
+            ),
+        )
     short = (
         F.when(n > 0, F.array(s)) if kmin >= 1 else F.array().cast("array<string>")
     )
-    out = F.when(n >= span, window).otherwise(short)
+    out = F.when(n >= reach, window).otherwise(short)
     out = F.coalesce(out, F.array().cast("array<string>"))
     return F.array_distinct(out) if unique else out
 
@@ -112,9 +129,9 @@ def shingles_for(cfg) -> Column:
         return word_shingles(
             text, span=cfg.span, skip=cfg.skip, unique=cfg.unique, kmin=cfg.kmin
         )
-    if cfg.skip:
-        raise NotImplementedError("char-mode skip-grams are not supported")
-    return char_shingles(text, span=cfg.span, unique=cfg.unique, kmin=cfg.kmin)
+    return char_shingles(
+        text, span=cfg.span, skip=cfg.skip, unique=cfg.unique, kmin=cfg.kmin
+    )
 
 
 def hashed_shingles(shingles: Column) -> Column:

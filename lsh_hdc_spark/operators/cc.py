@@ -101,7 +101,7 @@ def connected_components(
     spark = e.sparkSession
     prev = None
     pinned: list[DataFrame] = []
-    old_parts = None
+    old_parts = old_aqe = None
     if checkpoint:
         # materialize the (small) edge frame once: cuts the upstream plan
         # out of every round AND gives an exact size for shuffle sizing
@@ -113,6 +113,11 @@ def connected_components(
             2, min(int(old_parts), -(-n_edges // _CC_ROWS_PER_PARTITION))
         )
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        # AQE is pure overhead inside the loop: partitions are already
+        # right-sized above, and each AQE shuffle-stage materialization is
+        # an extra serial job — O(log n) rounds x 2+ shuffles of them
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(max_iter):
             e = _small_star(_large_star(e))
@@ -137,6 +142,8 @@ def connected_components(
     finally:
         if old_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     # converged star graphs: every edge is (member, root), root = component min
     members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))

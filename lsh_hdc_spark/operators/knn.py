@@ -191,6 +191,56 @@ def ann_bucket_stats(
     )
 
 
+def cosine_dup_edges(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 32,
+    seed: int = 0xA22,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """(src, dst, cosine) edges with cosine >= threshold — embedding-space
+    near-duplicate detection in the text pipeline's shape: LSH-bucketed
+    candidates (random-hyperplane bands) -> exact-cosine verify.  The
+    default 32x2-bit banding misses a cosine-0.45 pair w.p. ~3e-8 (recall
+    ~1); production tunes bands/bits per the collision curve and audits
+    drops via ann_bucket_stats.  Feed the result to connected_components
+    for embedding-dedup clusters."""
+    keyed_rows = _keyed_rows(df, id_col, vec_col, n_bits, bands, seed)
+    from pyspark.storagelevel import StorageLevel
+
+    keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
+    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bs"))
+    keyed = keyed.join(
+        sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "bkey"
+    )
+    a = keyed.select("bkey", F.col(id_col).alias("src"))
+    b = keyed.select("bkey", F.col(id_col).alias("dst"))
+    cand = (
+        a.join(b, "bkey")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    units = keyed_rows.select(id_col, "_unit")
+    dot = _dot_udf()
+    return (
+        cand.join(
+            units.select(F.col(id_col).alias("src"), F.col("_unit").alias("va")),
+            "src",
+        )
+        .join(
+            units.select(F.col(id_col).alias("dst"), F.col("_unit").alias("vb")),
+            "dst",
+        )
+        .select("src", "dst", dot(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk(
     df: DataFrame,
     k: int,

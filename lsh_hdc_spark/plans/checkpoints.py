@@ -133,16 +133,36 @@ def run_pipeline_resumable(
     io = CatalogIO(spark, base_dir)
     runner = StageRunner(io, run_id, resume=resume)
 
-    s1 = runner.stage("signed", lambda: signed(df, cfg))
+    base = (
+        df.filter(F.expr(cfg.content_filter))
+        if getattr(cfg, "content_filter", None)
+        else df
+    )
+    s1 = runner.stage("signed", lambda: signed(base, cfg))
     runner.stage(
         "bucket_stats", lambda: bucket_stats(band_key_rows(s1, cfg), cfg)
     )
     s2 = runner.stage("pairs", lambda: candidate_pairs(s1, cfg))
-    s3 = runner.stage("edges", lambda: verify_pairs(s2, s1, cfg))
+
+    def _edges() -> DataFrame:
+        e = verify_pairs(s2, s1, cfg).select("src", "dst", "jaccard")
+        if cfg.substring_min_len:
+            from ..operators.substring import substring_pairs
+
+            sub = substring_pairs(
+                base, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
+            ).select("src", "dst", F.lit(1.0).alias("jaccard"))
+            e = e.unionByName(sub)
+        return e
+
+    s3 = runner.stage("edges", _edges)
     s4 = runner.stage(
         "labels",
         lambda: assign_clusters(
-            df.select(cfg.id_col), s3, cfg.id_col, cfg.min_support
+            base.select(cfg.id_col), s3, cfg.id_col, cfg.min_support
         ),
     )
+    if getattr(cfg, "content_filter", None):
+        # excluded rows are part of the OUTPUT but not of any cluster
+        s4 = df.select(cfg.id_col).join(s4, cfg.id_col, "left")
     return s4, runner

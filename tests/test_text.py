@@ -84,3 +84,21 @@ def test_null_text_yields_empty(spark):
     df = spark.createDataFrame([(None,)], "text string")
     got = df.select(word_shingles(F.col("text")).alias("s")).collect()
     assert got[0].s == []
+
+
+def test_char_skip_grams(spark):
+    """char-mode skip-grams: window chars at stride skip+1 — Catalyst and
+    batch-kernel paths agree with the literal expansion."""
+    from lsh_hdc_spark.config import DedupConfig
+    from lsh_hdc_spark.functions.sign import shingles_of
+
+    cfg = DedupConfig(shingle_mode="char", span=3, skip=1)
+    # "abcdef": stride 2, reach 5 -> windows at i=0,1: ace, bdf
+    assert shingles_of("abcdef", cfg) == ["ace", "bdf"]
+    assert shingles_of("abcd", cfg) == ["abcd"]  # short-doc fallback
+    got = _run(
+        spark,
+        ["abcdef", "abcd", ""],
+        char_shingles(F.col("text"), span=3, skip=1),
+    )
+    assert got == [["ace", "bdf"], ["abcd"], []]
