@@ -53,6 +53,19 @@ def candidate_probability(s: float, r: int, b: int) -> float:
     return 1.0 - (1.0 - s**r) ** b
 
 
+def candidate_probability_b(s: float, r: int, b: int, m: int) -> float:
+    """Scheme 'b<m>' candidate probability: keys are all C(b, m)
+    combinations of the b disjoint bands, and a combination matches iff ALL
+    its m bands agree — so candidacy <=> at least m of the b independent
+    bands agree: P = P(Binomial(b, s^r) >= m).  m=1 degenerates to scheme
+    'a'.  Raising m steepens the S-curve toward precision (AND-OR
+    amplification, MMDS ch.3)."""
+    p = s**r
+    return sum(
+        math.comb(b, k) * p**k * (1.0 - p) ** (b - k) for k in range(m, b + 1)
+    )
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     """Configuration for the near-duplicate clustering pipeline.
@@ -79,7 +92,14 @@ class DedupConfig:
 
     # ---- LSH banding (op 8) ----------------------------------------------
     bandwidth: int = 3          # rows per band (r)
-    scheme: str = "a"           # 'a' = disjoint contiguous bands
+    #: 'a' = disjoint contiguous bands (one key per band); 'b<m>' = one key
+    #: per m-subset of the bands, matching iff all m agree (candidate <=>
+    #: >= m bands agree) — the reference's combinatorial recall/precision
+    #: shaping scheme ``lsh_hdc/__init__.py::LSHC`` scheme 'b<ramp>' [M],
+    #: reconstructed as standard AND-OR amplification (exact ramp
+    #: semantics unreadable, SURVEY.md §0; the implemented contract is
+    #: documented and property-tested)
+    scheme: str = "a"
 
     # ---- sketch filter (ops 6, 10) ----------------------------------------
     #: b-bit MinHash sketch width; 0 disables the Hamming pre-filter.  When
@@ -121,12 +141,17 @@ class DedupConfig:
             raise ValueError(f"shingle_mode must be word|char, got {self.shingle_mode}")
         if self.signer not in ("minhash", "simhash"):
             raise ValueError(f"signer must be minhash|simhash, got {self.signer}")
-        if self.scheme != "a":
-            raise NotImplementedError(
-                "only banding scheme 'a' (disjoint contiguous bands) is "
-                "implemented; reference scheme 'b<ramp>' is a recall booster "
-                "outside the pinned parity config (SURVEY.md §2.5.3)"
-            )
+        if self.scheme_kind not in ("a", "b"):
+            raise ValueError(f"scheme must be 'a' or 'b<m>', got {self.scheme!r}")
+        if self.scheme_kind == "b":
+            m = self.scheme_ramp
+            if m < 1:
+                raise ValueError("scheme 'b' needs a ramp, e.g. 'b2'")
+            if m > self.width // self.bandwidth:
+                raise ValueError(
+                    f"scheme ramp {m} cannot exceed the band count "
+                    f"{self.width // self.bandwidth}"
+                )
         if self.signer == "simhash" and self.width > 64:
             raise ValueError("simhash bit depth must be <= 64")
         if not 0 <= self.sketch_bits <= 64:
@@ -148,6 +173,27 @@ class DedupConfig:
     @property
     def bands(self) -> int:
         return self.width // self.bandwidth
+
+    @property
+    def scheme_kind(self) -> str:
+        return self.scheme[:1]
+
+    @property
+    def scheme_ramp(self) -> int:
+        """m for scheme 'b<m>' (0 for scheme 'a')."""
+        if self.scheme_kind != "b":
+            return 0
+        try:
+            return int(self.scheme[1:])
+        except ValueError:
+            return -1
+
+    @property
+    def n_band_keys(self) -> int:
+        """Band keys emitted per item: b for scheme 'a', C(b, m) for 'b<m>'."""
+        if self.scheme_kind == "b":
+            return math.comb(self.bands, self.scheme_ramp)
+        return self.bands
 
     @property
     def resolved_jaccard_threshold(self) -> float:

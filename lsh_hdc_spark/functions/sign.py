@@ -171,6 +171,26 @@ def _bit_slices(v: np.ndarray, r: int, b: int, band_seeds: np.ndarray) -> np.nda
     return keys
 
 
+def _combo_keys(keys: np.ndarray, m: int, seed: int) -> np.ndarray:
+    """Scheme 'b<m>' (op 8 variant): (n, C(b, m)) uint64 keys, one per
+    m-subset of the b base bands, folded order-insensitively from that
+    subset's band keys.  Two items share a combo key iff all m member
+    bands agree, so candidacy <=> >= m of the b bands agree (AND-OR
+    amplification; see config.candidate_probability_b)."""
+    from itertools import combinations
+
+    n, b = keys.shape
+    combos = list(combinations(range(b), m))
+    cseeds = hash_seeds(len(combos), seed ^ 0xC0B05EED)
+    out = np.empty((n, len(combos)), dtype=np.uint64)
+    for ci, combo in enumerate(combos):
+        z = np.full(n, cseeds[ci], dtype=np.uint64)
+        for j in combo:
+            z = mix64(z ^ keys[:, j])
+        out[:, ci] = z
+    return out
+
+
 def _seg_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0-1, 0..c1-1, ...] for segment sizes `counts`."""
     total = int(counts.sum())
@@ -304,6 +324,8 @@ def sign_batch_texts(texts: pd.Series, cfg: DedupConfig) -> pd.DataFrame:
             sigm = sh[:, None]
             keys = _bit_slices(sh, r, b, band_seeds)
             sketch = sh
+        if cfg.scheme_kind == "b":
+            keys = _combo_keys(keys, cfg.scheme_ramp, cfg.seed)
         sig_i64 = as_i64(sigm.reshape(-1)).reshape(sigm.shape)
         keys_i64 = as_i64(keys.reshape(-1)).reshape(keys.shape)
         sk_i64 = as_i64(sketch)

@@ -42,8 +42,8 @@ def test_config_validation():
         DedupConfig(width=12, bandwidth=5)  # not a divisor
     with pytest.raises(ValueError):
         DedupConfig(shingle_mode="sentence")
-    with pytest.raises(NotImplementedError):
-        DedupConfig(scheme="b3")
+    with pytest.raises(ValueError):
+        DedupConfig(scheme="b5")  # ramp exceeds the 4-band layout
     with pytest.raises(ValueError):
         DedupConfig(signer="simhash", width=128)
 

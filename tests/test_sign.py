@@ -125,3 +125,59 @@ def test_sketch_is_parity_of_sig(spark):
     for k, v in enumerate(r.sig):
         expect |= (v & 1) << k
     assert r.sketch == expect
+
+
+# ---- scheme 'b<m>' (op 8 variant: combinatorial band unions) ---------------
+
+def test_scheme_b_config():
+    from lsh_hdc_spark.config import candidate_probability_b
+
+    cfg = DedupConfig(scheme="b2")
+    assert cfg.scheme_kind == "b" and cfg.scheme_ramp == 2
+    assert cfg.n_band_keys == 6  # C(4, 2)
+    for bad in ("b", "b0", "b9", "c1", "bx"):
+        with pytest.raises(ValueError):
+            DedupConfig(scheme=bad)
+    # m=1 degenerates to scheme 'a'; endpoints sane
+    assert candidate_probability_b(0.7, 3, 4, 1) == pytest.approx(
+        candidate_probability(0.7, 3, 4)
+    )
+    assert candidate_probability_b(1.0, 3, 4, 3) == pytest.approx(1.0)
+    assert candidate_probability_b(0.0, 3, 4, 1) == 0.0
+    # monotone: higher ramp => stricter
+    assert candidate_probability_b(0.7, 3, 4, 3) < candidate_probability_b(
+        0.7, 3, 4, 2
+    )
+
+
+def test_combo_keys_share_count():
+    """Two items agreeing on exactly k of b base bands share exactly
+    C(k, m) combo keys — the AND-OR contract at the matrix level."""
+    import math
+
+    from lsh_hdc_spark.functions.sign import _combo_keys
+
+    b, m = 4, 2
+    base = hash_seeds(b, 7)
+    other = hash_seeds(b, 99)
+    for k in range(b + 1):
+        row2 = base.copy()
+        row2[k:] = other[k:]  # agree on the first k bands only
+        kk = _combo_keys(np.stack([base, row2]), m, seed=0)
+        shared = len(set(kk[0].tolist()) & set(kk[1].tolist()))
+        assert shared == math.comb(k, m), f"k={k}"
+
+
+def test_scheme_b_pipeline_end_to_end(spark):
+    """Identical texts always co-cluster under scheme 'b2' (all bands
+    agree => all combos agree); unrelated texts stay apart."""
+    from lsh_hdc_spark.plans.pipeline import run_pipeline
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different content about query optimizers and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in run_pipeline(df, DedupConfig(scheme="b2")).collect()}
+    assert got[1] == got[2] != got[3]
