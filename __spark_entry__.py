@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lsh_hdc_spark.config import DedupConfig
-from lsh_hdc_spark.functions.text import TOKEN_SPLIT_RE, shingles_for, tokenize
+from lsh_hdc_spark.functions.text import TOKEN_SPLIT_RE, tokenize
 from lsh_hdc_spark.functions.textstats import (
     LANG_PROFILES,
     doc_stats,
