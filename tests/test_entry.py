@@ -66,3 +66,39 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"cluster_id", "cluster_size", "member_ids"} <= set(df.columns)
+
+
+def test_quality_micros_cross_engine_fuzz(spark):
+    """The quality quantization must agree between Spark and DuckDB on
+    arbitrary text — this is the divergence class (round-half ties on
+    doubles) that broke doc_quality in round 1.  400 seeded random texts,
+    mixed scripts/lengths/punctuation."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from lsh_hdc_spark.functions.textstats import quality_micros
+
+    rng = random.Random(20260816)
+    alphabets = [
+        "abcdefghij ", "abc 123 !?.,", "ħéllo wörld ünï ", "的是在不了 ",
+        "a" * 5 + " ", "x y z w v u t s r q ",
+    ]
+    texts = [
+        "".join(rng.choice(rng.choice(alphabets)) for _ in range(rng.randint(0, 300)))
+        for _ in range(400)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = {
+        r.doc_id: r.quality_micros
+        for r in quality_micros(
+            spark.createDataFrame(pdf), "doc_id", "text"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    import __spark_entry__ as E
+
+    want = dict(con.sql(E.oracle_sql()["doc_quality"]).fetchall())
+    assert got == want

@@ -102,3 +102,32 @@ def test_char_skip_grams(spark):
         char_shingles(F.col("text"), span=3, skip=1),
     )
     assert got == [["ace", "bdf"], ["abcd"], []]
+
+
+def test_shingler_fuzz_word_and_char():
+    """Hypothesis fuzz: the batch-kernel shingler (sign.py::shingles_of)
+    agrees with the independent pure-python oracle on arbitrary unicode
+    text across (span, skip) configs — word and char modes."""
+    from hypothesis import given, settings, strategies as st
+
+    from lsh_hdc_spark.config import DedupConfig
+    from lsh_hdc_spark.functions.sign import shingles_of
+    from ref_oracle import char_shingles as o_char
+    from ref_oracle import shingles as o_word
+
+    @given(
+        st.text(max_size=120),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=0, max_value=2),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(text, span, skip):
+        wcfg = DedupConfig(span=span, skip=skip, width=4, bandwidth=1)
+        assert shingles_of(text, wcfg) == o_word(text, span=span, skip=skip)
+        if skip == 0:
+            ccfg = DedupConfig(
+                shingle_mode="char", span=span, width=4, bandwidth=1
+            )
+            assert shingles_of(text, ccfg) == o_char(text, span=span)
+
+    check()
