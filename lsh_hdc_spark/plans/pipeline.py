@@ -27,11 +27,20 @@ from ..operators.cc import assign_clusters
 from ..operators.pairs import band_key_rows, bucket_stats, candidate_pairs, verify_pairs
 
 
-def dedup_edges(df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Verified near-duplicate edge list (src, dst, jaccard)."""
+def _edges_with_persisted(
+    df: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, persisted signed frame) — the caller owns the unpersist;
+    the signed frame is read twice by the verify joins, so it must stay
+    pinned until the edge frame is materialized."""
     s = signed(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(s, cfg)
-    return verify_pairs(pairs, s, cfg)
+    return verify_pairs(pairs, s, cfg), s
+
+
+def dedup_edges(df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified near-duplicate edge list (src, dst, jaccard)."""
+    return _edges_with_persisted(df, cfg)[0]
 
 
 def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -47,7 +56,8 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     come back with NULL cluster_id/cluster_size.
     """
     base = df.filter(F.expr(cfg.content_filter)) if cfg.content_filter else df
-    edges = dedup_edges(base, cfg).select("src", "dst")
+    edges, s = _edges_with_persisted(base, cfg)
+    edges = edges.select("src", "dst")
     if cfg.substring_min_len:
         from ..operators.substring import substring_pairs
 
@@ -55,7 +65,11 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
             base, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
         ).select("src", "dst")
         edges = edges.unionByName(sub)
+    # assign_clusters materializes the edge frame (CC's eager checkpoint),
+    # after which the label plan references only checkpoint blocks — the
+    # pinned signed frame can be released instead of living for the session
     labels = assign_clusters(base, edges, cfg.id_col, cfg.min_support)
+    s.unpersist()
     if cfg.content_filter:
         # excluded rows are part of the OUTPUT but not of any cluster
         labels = df.select(cfg.id_col).join(labels, cfg.id_col, "left")
