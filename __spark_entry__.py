@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 from lsh_hdc_spark.config import DedupConfig
 from lsh_hdc_spark.functions.text import TOKEN_SPLIT_RE, tokenize
 from lsh_hdc_spark.functions.textstats import (
+    BPE_ISH_RE,
     LANG_PROFILES,
     doc_stats,
     language_id,
     quality_micros,
+    token_counts,
 )
 from lsh_hdc_spark.functions.sign import signed
 from lsh_hdc_spark.operators.cc import connected_components
@@ -139,6 +141,13 @@ def _q_doc_quality(spark, sf_dir):
     """Quality composite in integer micro-units (tie-proof across engines —
     see functions/textstats.py::quality_micros)."""
     return quality_micros(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_token_counts(spark, sf_dir):
+    """Token-count conventions for data budgeting: whitespace split, the
+    engine tokenizer, and a BPE-ish pre-token count (regex shared verbatim
+    with the oracle — portable Java-regex/RE2 subset)."""
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _q_language_id(spark, sf_dir):
@@ -395,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "doc_stats": _q_doc_stats,
         "doc_quality": _q_doc_quality,
+        "token_counts": _q_token_counts,
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -612,6 +622,17 @@ def oracle_sql() -> dict[str, str]:
                               / (2.0 * sum(n_pos) * sum(n_neg)) * 1e6 + 0.5)
                         AS BIGINT) AS auc_micros
             FROM cum
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(list_filter(string_split_regex(lower(text),
+                                                           '{TOKEN_SPLIT_RE}'),
+                                        t -> t <> '')) AS BIGINT) AS re_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+                        AS BIGINT) AS bpe_ish_tokens
+            FROM documents
         """,
         "language_id": f"""
             WITH {_TOKS},

@@ -109,6 +109,33 @@ def quality_micros(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-style pre-tokenizer approximation: letter runs, digit runs, and
+#: punctuation runs, each optionally absorbing one leading space — the
+#: GPT-2-family pre-token shape, simplified to the regex subset shared by
+#: Java regex (Spark) and RE2 (DuckDB)
+BPE_ISH_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws_tokens, re_tokens, bpe_ish_tokens) — the three token-count
+    conventions a training-data pipeline budgets with: whitespace split,
+    the engine's alnum tokenizer, and a BPE-ish pre-token count (a cheap,
+    SQL-portable proxy for real tokenizer-based length accounting)."""
+    text = F.col(text_col)
+    low = F.lower(text)
+    ws = F.size(
+        F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    )
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        F.size(tokenize(low)).cast("long").alias("re_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_ISH_RE), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
 def language_id(text: Column) -> Column:
     """Heuristic language-ID: argmax stopword-hit ratio across profiles;
     'und' (undetermined) when nothing matches."""

@@ -1,0 +1,77 @@
+"""Multimodal binary-column plumbing: schemas, Arrow batch shape,
+determinism, byte passthrough, frame fan-out, and the strict codec fences.
+The decode layer is a deterministic fake offline (no image/video libs in
+this sandbox) — these tests pin the DISTRIBUTED shape, which is the part
+that must be right at 100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lsh_hdc_spark.functions.media import (
+    frame_sample,
+    media_features,
+    resize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, bytes([i % 251]) * (1000 + 137 * i), "image/fake", 1000 + 100 * i)
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_bytes binary, media_type string, dur_ms int"
+    ).repartition(7)  # multiple Arrow batches / partitions
+
+
+def test_features_schema_and_determinism(media):
+    out = media_features(media, dim=16)
+    assert out.schema.simpleString() == "struct<media_id:bigint,features:array<float>>"
+    a = {r.media_id: tuple(r.features) for r in out.collect()}
+    b = {r.media_id: tuple(r.features) for r in media_features(media, dim=16).collect()}
+    assert a == b  # deterministic across runs/partitionings
+    assert all(len(v) == 16 for v in a.values())
+    assert len(set(a.values())) == len(a)  # content-sensitive
+
+
+def test_features_custom_decoder(media):
+    import numpy as np
+
+    out = media_features(
+        media, dim=2, decoder=lambda payload: np.array([len(payload), 1.0], dtype=np.float32)
+    )
+    got = {r.media_id: r.features[0] for r in out.collect()}
+    assert got[0] == 1000.0 and got[1] == 1137.0
+
+
+def test_features_strict_fence(media):
+    with pytest.raises(NotImplementedError):
+        media_features(media, strict=True)
+
+
+def test_resize_output_sizes(media):
+    out = resize_media(media, width=8, height=8)
+    rows = out.collect()
+    assert all(len(r.media_bytes) == 64 for r in rows)
+    assert len(rows) == 40
+    with pytest.raises(NotImplementedError):
+        resize_media(media, 8, 8, strict=True)
+
+
+def test_frame_sample_fanout(media):
+    out = frame_sample(media, every_ms=250)
+    per = (
+        out.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    )
+    got = {r.media_id: r.n for r in per}
+    # dur 1000+100*i, every 250 ms -> max(dur // 250, 1) frames
+    assert all(got[i] == max((1000 + 100 * i) // 250, 1) for i in range(40))
+    # frames carry real payload slices and stable indices
+    f0 = {
+        (r.media_id, r.frame_idx): bytes(r.frame_bytes)
+        for r in out.collect()
+    }
+    assert f0[(0, 0)] == bytes([0]) * 250
+    with pytest.raises(NotImplementedError):
+        frame_sample(media, 250, strict=True)
