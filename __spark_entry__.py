@@ -244,14 +244,19 @@ _FILTER = "n_chars >= 300"
 
 def _q_dedup_clusters_filtered(spark, sf_dir):
     """op 15: rows failing cfg.content_filter never reach signing and come
-    back with NULL cluster_id/cluster_size."""
+    back with NULL cluster_id/cluster_size.  NULLs are sentinel-coalesced
+    to -1 on BOTH sides purely for the comparison (cross-engine NULL
+    canonicalization is representation-dependent; -1 never collides with
+    real ids/sizes)."""
     labels = run_pipeline(
         _docs(spark, sf_dir), CFG.with_(content_filter=_FILTER)
     )
     return labels.select(
         "doc_id",
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.coalesce(F.col("cluster_id").cast("long"), F.lit(-1)).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size").cast("long"), F.lit(-1)).alias(
+            "cluster_size"
+        ),
     )
 
 
@@ -286,11 +291,13 @@ def _q_dedup_clusters_sketch(spark, sf_dir):
 
 def _q_dedup_min_support(spark, sf_dir):
     """op 13: clusters below min_support=2 get NULL cluster_id (noise
-    suppression) — singletons NULL, planted families keep their label."""
+    suppression) — singletons NULL, planted families keep their label.
+    NULL -> -1 sentinel on both sides for comparison (see
+    _q_dedup_clusters_filtered)."""
     labels = run_pipeline(_docs(spark, sf_dir), CFG.with_(min_support=2))
     return labels.select(
         "doc_id",
-        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.coalesce(F.col("cluster_id").cast("long"), F.lit(-1)).alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
 
@@ -575,7 +582,8 @@ def oracle_sql() -> dict[str, str]:
               FROM labs
             )
             SELECT doc_id,
-                   CASE WHEN cluster_size >= 2 THEN cluster_id END AS cluster_id,
+                   CASE WHEN cluster_size >= 2 THEN cluster_id
+                        ELSE -1 END AS cluster_id,
                    cluster_size
             FROM sized
         """,
@@ -731,7 +739,9 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY cluster_id) AS cluster_size
               FROM labs
             )
-            SELECT d.doc_id, s.cluster_id, s.cluster_size
+            SELECT d.doc_id,
+                   coalesce(s.cluster_id, -1) AS cluster_id,
+                   coalesce(s.cluster_size, -1) AS cluster_size
             FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
         """,
         "clustering_metrics": """
