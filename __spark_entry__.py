@@ -161,8 +161,27 @@ def _q_fingerprints(spark, sf_dir):
 
 
 def _q_exact_dup_groups(spark, sf_dir):
-    g = exact_dup_groups(_docs(spark, sf_dir), "doc_id", "text")
-    return g.select("fingerprint", F.col("n_docs").cast("long").alias("n_docs"), "keeper")
+    """op: exact dedup, POSITIVE path.  The sf corpora contain zero exact
+    duplicates by design (TESTDATA.md), so the input is augmented inside the
+    query with a deterministic re-cased + whitespace-padded copy of every
+    5th document, re-keyed to doc_id + 10_000_000 — the normalized
+    fingerprint must group each copy with its source (n_docs=2, keeper=the
+    original id, dup_ids=the copy).  Fully DuckDB-expressible, closing the
+    round-2 vacuous-oracle finding (0-vs-0 rows)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    g = exact_dup_groups(docs.unionByName(copies), "doc_id", "text")
+    return g.select(
+        "fingerprint",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "keeper",
+        F.concat_ws(
+            ",", F.transform("dup_ids", lambda x: x.cast("string"))
+        ).alias("dup_ids"),
+    )
 
 
 def _q_lang_counts(spark, sf_dir):
@@ -666,11 +685,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dup_groups": r"""
-            SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
-            FROM (SELECT doc_id,
-                         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-                  FROM documents)
-            GROUP BY fingerprint HAVING count(*) >= 2
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, '  ' || upper(text) || ' '
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            fp AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+              FROM aug
+            )
+            SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS keeper,
+                   array_to_string((list(doc_id ORDER BY doc_id))[2:], ',') AS dup_ids
+            FROM fp GROUP BY fingerprint HAVING count(*) >= 2
         """,
         "lang_counts": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
