@@ -404,6 +404,21 @@ def _q_clustering_metrics(spark, sf_dir):
     )
 
 
+def _q_clustering_entropy(spark, sf_dir):
+    """Entropy family (op 17: homogeneity / completeness / V-measure, NMI)
+    over (true=lang, pred=source), micro-quantized via exact-integer
+    contingency staging + order-pinned float sums (the roc_auc pattern —
+    see operators/clustering_metrics.py::entropy_micros).  The oracle
+    mirrors every term: same sorted summation order, one log per cell."""
+    from lsh_hdc_spark.operators.clustering_metrics import entropy_micros
+
+    m = entropy_micros(_docs(spark, sf_dir), "lang", "source")
+    return spark.createDataFrame(
+        [(m["n_items"], m["h_micros"], m["c_micros"], m["v_micros"], m["nmi_micros"])],
+        "n_items long, h_micros long, c_micros long, v_micros long, nmi_micros long",
+    )
+
+
 def _q_knn_cosine(spark, sf_dir):
     return cosine_topk_bruteforce(_embs(spark, sf_dir), k=5).select(
         "vec_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
@@ -444,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_sketch": _q_dedup_clusters_sketch,
         "dedup_min_support": _q_dedup_min_support,
         "clustering_metrics": _q_clustering_metrics,
+        "clustering_entropy": _q_clustering_entropy,
         "roc_auc": _q_roc_auc,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
         "simhash_sketch": _q_simhash_sketch,
@@ -810,6 +826,51 @@ def oracle_sql() -> dict[str, str]:
                                  - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
                               * 1e6 + 0.5) AS BIGINT) AS kappa_micros
             FROM pc
+        """,
+        "clustering_entropy": """
+            WITH ct AS (
+              SELECT lang AS t, source AS p, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n)::DOUBLE AS nf, CAST(sum(n) AS BIGINT) AS ni FROM ct),
+            am AS (SELECT t, sum(n)::DOUBLE AS a FROM ct GROUP BY t),
+            bm AS (SELECT p, sum(n)::DOUBLE AS b FROM ct GROUP BY p),
+            sht AS (
+              SELECT (SELECT nf FROM tot) * ln((SELECT nf FROM tot))
+                     - list_sum(list(a * ln(a) ORDER BY t)) AS s
+              FROM am
+            ),
+            shp AS (
+              SELECT (SELECT nf FROM tot) * ln((SELECT nf FROM tot))
+                     - list_sum(list(b * ln(b) ORDER BY p)) AS s
+              FROM bm
+            ),
+            terms AS (
+              SELECT ct.t, ct.p,
+                     ct.n::DOUBLE
+                       * ln((SELECT nf FROM tot) * ct.n::DOUBLE / (am.a * bm.b))
+                       AS term
+              FROM ct JOIN am USING (t) JOIN bm USING (p)
+            ),
+            smi AS (SELECT list_sum(list(term ORDER BY t, p)) AS s FROM terms),
+            hc AS (
+              SELECT CASE WHEN (SELECT s FROM sht) = 0 THEN 1.0
+                          ELSE (SELECT s FROM smi) / (SELECT s FROM sht) END AS h,
+                     CASE WHEN (SELECT s FROM shp) = 0 THEN 1.0
+                          ELSE (SELECT s FROM smi) / (SELECT s FROM shp) END AS c
+            )
+            SELECT (SELECT ni FROM tot) AS n_items,
+                   CAST(floor(h * 1e6 + 0.5) AS BIGINT) AS h_micros,
+                   CAST(floor(c * 1e6 + 0.5) AS BIGINT) AS c_micros,
+                   CAST(floor((CASE WHEN h + c = 0 THEN 0.0
+                                    ELSE 2 * h * c / (h + c) END) * 1e6 + 0.5)
+                        AS BIGINT) AS v_micros,
+                   CAST(floor((CASE WHEN (SELECT s FROM sht) * (SELECT s FROM shp) = 0
+                                    THEN 1.0
+                                    ELSE (SELECT s FROM smi)
+                                         / sqrt((SELECT s FROM sht) * (SELECT s FROM shp))
+                               END) * 1e6 + 0.5) AS BIGINT) AS nmi_micros
+            FROM hc
         """,
         "knn_cosine": """
             WITH unit AS (

@@ -127,3 +127,47 @@ def test_pair_recall_gate_lsh_vs_exact(spark, documents):
     m = pair_metrics(pair_confusion(both, "true", "pred"))
     assert m["pair_recall"] >= 0.99, m
     assert m["pair_precision"] >= 0.99, m
+
+
+def test_entropy_micros_agrees_with_distributed(spark):
+    from lsh_hdc_spark.operators.clustering_metrics import entropy_micros
+
+    true = ["a", "a", "a", "b", "b", "c", "c", "c", "c"]
+    pred = ["x", "x", "y", "y", "y", "z", "z", "x", "z"]
+    df = _frame(spark, true, pred)
+    m_dist = entropy_metrics(df, "t", "p")
+    m_mic = entropy_micros(df, "t", "p")
+    assert m_mic["n_items"] == len(true)
+    for k_mic, k_dist in [("h_micros", "homogeneity"), ("c_micros", "completeness"),
+                          ("v_micros", "v_measure"), ("nmi_micros", "nmi")]:
+        assert abs(m_mic[k_mic] / 1e6 - m_dist[k_dist]) < 2e-6, (k_mic, m_mic, m_dist)
+
+
+def test_entropy_micros_degenerate_single_cluster(spark):
+    from lsh_hdc_spark.operators.clustering_metrics import entropy_micros
+
+    df = _frame(spark, ["a"] * 5, ["x"] * 5)
+    m = entropy_micros(df, "t", "p")
+    # both entropies are 0 -> conventions: h = c = nmi = 1
+    assert m["h_micros"] == m["c_micros"] == m["nmi_micros"] == 10**6
+
+
+def test_entropy_metrics_null_labels_consistent_with_pair_confusion(spark):
+    """NULL pred labels (min_support output) are a regular group in BOTH
+    metric families (round-2 advice: the inner joins used to drop them)."""
+    from lsh_hdc_spark.operators.clustering_metrics import entropy_micros
+
+    df = spark.createDataFrame(
+        [(0, "a", "x"), (1, "a", None), (2, "b", None), (3, "b", "y")],
+        "id long, t string, p string",
+    )
+    m = entropy_metrics(df, "t", "p")
+    # with NULL as its own cluster, MI > 0 here; the old inner-join bug
+    # dropped the NULL cells, biasing MI low while H margins kept them
+    sub = df.withColumn("p", F.coalesce("p", F.lit("__null__")))
+    m_sentinel = entropy_metrics(sub, "t", "p")
+    for k in ("homogeneity", "completeness", "v_measure", "nmi"):
+        assert math.isclose(m[k], m_sentinel[k], rel_tol=1e-12), (k, m, m_sentinel)
+    m_mic = entropy_micros(df, "t", "p")
+    m_mic_sent = entropy_micros(sub, "t", "p")
+    assert {k: v for k, v in m_mic.items()} == {k: v for k, v in m_mic_sent.items()}
