@@ -83,7 +83,11 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 def _q_dedup_rollup(spark, sf_dir):
-    roll = cluster_rollup(run_pipeline(_docs(spark, sf_dir), CFG), CFG.id_col)
+    # member_cap=None: the oracle checks the COMPLETE member list (report-
+    # scale); the default cap exists for degenerate mega-clusters at scale
+    roll = cluster_rollup(
+        run_pipeline(_docs(spark, sf_dir), CFG), CFG.id_col, member_cap=None
+    )
     return roll.select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
@@ -308,6 +312,26 @@ def _q_dedup_clusters_sketch(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_scheme_b(spark, sf_dir):
+    """op 8 scheme 'b<m>' end-to-end: the pipeline at scheme='b2' over
+    width=24 (8 bands x 3 rows, C(8,2)=28 combinatorial band-union keys; a
+    key matches iff BOTH member bands agree, so candidacy <=> >=2 of 8
+    bands agree — config.candidate_probability_b).  The verify threshold is
+    pinned to the parity value so the exact-CC oracle applies; at that
+    threshold the corpus' exact pairs have J >= 0.89, where P(>=2 of 8
+    bands | J=0.89) > 0.9999 — measured recall on this corpus is 1.0 at
+    sf0.001 AND sf0.01 (0 missed pairs; also pytest-asserted in
+    test_sign.py), so the exact pair graph is a true oracle, the
+    dedup_clusters_sketch premise."""
+    cfg = CFG.with_(scheme="b2", width=24, jaccard_threshold=float(T_PARITY))
+    labels = run_pipeline(_docs(spark, sf_dir), cfg)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def _q_dedup_min_support(spark, sf_dir):
     """op 13: clusters below min_support=2 get NULL cluster_id (noise
     suppression) — singletons NULL, planted families keep their label.
@@ -457,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edges": _q_dedup_edges,
         "dedup_clusters_filtered": _q_dedup_clusters_filtered,
         "dedup_clusters_sketch": _q_dedup_clusters_sketch,
+        "dedup_clusters_scheme_b": _q_dedup_clusters_scheme_b,
         "dedup_min_support": _q_dedup_min_support,
         "clustering_metrics": _q_clustering_metrics,
         "clustering_entropy": _q_clustering_entropy,
@@ -604,6 +629,12 @@ def oracle_sql() -> dict[str, str]:
             FROM labs GROUP BY cluster_id HAVING count(*) >= 2
         """,
         "dedup_clusters_sketch": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
+        """,
+        "dedup_clusters_scheme_b": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size

@@ -104,6 +104,17 @@ def main() -> None:
                 clips.select(CLIPS.id_col, CLIPS.text_col), CLIPS
             ).collect()
         }
+        # substring-pass fingerprint census (op 23): the `dropped` tier is
+        # the audit of hot winnow buckets excluded from candidate gen
+        from lsh_hdc_spark.operators.substring import substring_bucket_stats
+
+        rec["substring_tiers"] = {
+            r["tier"]: {"n_buckets": r["n_buckets"], "n_rows": r["n_rows"],
+                        "max_bucket": r["max_bucket"]}
+            for r in substring_bucket_stats(
+                clips, CLIPS.id_col, CLIPS.text_col, min_len=64
+            ).collect()
+        }
     print(json.dumps(rec))
     spark.stop()
 

@@ -173,9 +173,11 @@ def _bit_slices(v: np.ndarray, r: int, b: int, band_seeds: np.ndarray) -> np.nda
 
 def _combo_keys(keys: np.ndarray, m: int, seed: int) -> np.ndarray:
     """Scheme 'b<m>' (op 8 variant): (n, C(b, m)) uint64 keys, one per
-    m-subset of the b base bands, folded order-insensitively from that
-    subset's band keys.  Two items share a combo key iff all m member
-    bands agree, so candidacy <=> >= m of the b bands agree (AND-OR
+    m-subset of the b base bands.  The fold z = mix64(z ^ key_j) is
+    ORDER-DEPENDENT; determinism holds because itertools.combinations
+    yields each subset's members in one fixed (ascending) order for every
+    item — do not reorder the fold.  Two items share a combo key iff all m
+    member bands agree, so candidacy <=> >= m of the b bands agree (AND-OR
     amplification; see config.candidate_probability_b)."""
     from itertools import combinations
 

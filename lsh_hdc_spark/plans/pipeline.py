@@ -17,7 +17,7 @@ the final output re-joins payload by id if the caller asks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -76,12 +76,29 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     return labels
 
 
-def cluster_rollup(labels: DataFrame, id_col: str) -> DataFrame:
+def cluster_rollup(
+    labels: DataFrame, id_col: str, member_cap: int | None = 100
+) -> DataFrame:
     """(cluster_id, cluster_size, member_ids) for non-singleton clusters,
-    ordered largest-first — the flagship 'report duplicate clusters' query."""
+    ordered largest-first — the flagship 'report duplicate clusters' query.
+
+    `member_ids` is capped to the `member_cap` smallest ids per cluster by
+    default: a degenerate mega-cluster (boilerplate text) would otherwise
+    make one aggregation task hold the whole component's id list in memory
+    at 100x scale.  The cap is applied BEFORE the aggregation (row_number
+    window, disk-spillable sort), so no collect_list buffer ever exceeds
+    member_cap elements.  `cluster_size` always carries the exact count.
+    Pass member_cap=None for the complete list (report-sized outputs only —
+    e.g. the DuckDB oracle comparison at test scale).
+    """
+    base = labels.where(F.col("cluster_size") >= 2)
+    if member_cap is not None:
+        w = Window.partitionBy("cluster_id").orderBy(id_col)
+        base = base.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= member_cap
+        ).drop("_rk")
     return (
-        labels.where(F.col("cluster_size") >= 2)
-        .groupBy("cluster_id")
+        base.groupBy("cluster_id")
         .agg(
             F.first("cluster_size").alias("cluster_size"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),

@@ -102,3 +102,18 @@ def test_rollup_shape(corpus):
     for r in top:
         assert r.cluster_size == len(r.member_ids)
         assert r.cluster_id == min(r.member_ids)
+
+
+def test_cluster_rollup_member_cap(spark, documents):
+    from lsh_hdc_spark.config import DedupConfig
+    from lsh_hdc_spark.plans.pipeline import cluster_rollup, run_pipeline
+
+    labels = run_pipeline(documents, DedupConfig())
+    full = cluster_rollup(labels, "doc_id", member_cap=None).collect()
+    capped = cluster_rollup(labels, "doc_id", member_cap=2).collect()
+    by_id_full = {r.cluster_id: r for r in full}
+    assert len(capped) == len(full)
+    for r in capped:
+        f = by_id_full[r.cluster_id]
+        assert r.cluster_size == f.cluster_size  # exact count survives the cap
+        assert list(r.member_ids) == list(f.member_ids)[:2]  # smallest ids

@@ -181,3 +181,25 @@ def test_scheme_b_pipeline_end_to_end(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.cluster_id for r in run_pipeline(df, DedupConfig(scheme="b2")).collect()}
     assert got[1] == got[2] != got[3]
+
+
+def test_scheme_b_harness_config_recall_is_one(spark):
+    """Premise audit for the dedup_clusters_scheme_b harness oracle: at the
+    query's pinned config (scheme b2, width=24 -> 8 bands x 3 rows, parity
+    verify threshold) the combinatorial banding surfaces EVERY exact pair
+    at the parity threshold on the sf0.001 corpus — exact SQL is therefore
+    a true oracle for the scheme-b pipeline."""
+    from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs
+    from lsh_hdc_spark.operators.pairs import candidate_pairs
+
+    base = DedupConfig()
+    cfg = base.with_(
+        scheme="b2", width=24, jaccard_threshold=base.resolved_jaccard_threshold
+    )
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = exact_jaccard_pairs(df, base, threshold=cfg.jaccard_threshold).select(
+        "src", "dst"
+    )
+    cand = candidate_pairs(signed(df, cfg), cfg)
+    assert exact.join(cand, ["src", "dst"], "left_anti").count() == 0
+    assert exact.count() > 0
