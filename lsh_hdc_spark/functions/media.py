@@ -137,7 +137,14 @@ def frame_sample(
     period; the typical video fan-out shape (explode happens Python-side in
     the SAME Arrow batch, so frames land already distributed).  Real video
     work needs ``sampler(payload, n_frames)``; the offline fake slices the
-    payload deterministically."""
+    payload deterministically.
+
+    Validation: ``every_ms >= 1`` is checked at plan-build time (a zero
+    period would otherwise surface as an opaque ZeroDivisionError inside
+    the Python worker), and NULL durations sample exactly one frame (same
+    floor as a shorter-than-period clip)."""
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1, got {every_ms}")
     if strict and sampler is None:
         raise NotImplementedError(
             "no video codec available offline — pass sampler= or use "
@@ -159,7 +166,7 @@ def frame_sample(
             for rid, payload, dur in zip(
                 pdf[id_col], pdf[bytes_col], pdf[dur_col]
             ):
-                n = max(int(dur) // every_ms, 1)
+                n = 1 if pd.isna(dur) else max(int(dur) // every_ms, 1)
                 for i, fb in enumerate(smp(bytes(payload), n)):
                     ids.append(rid)
                     idxs.append(i)
