@@ -332,6 +332,21 @@ def _q_dedup_clusters_scheme_b(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_substring(spark, sf_dir):
+    """op 23 IN-PIPELINE: cfg.substring_min_len=32 OR-merges exact-substring
+    pairs (winnowing + suffix-array verify) into the edge list before CC.
+    Oracle: connected components over the UNION of the exact-Jaccard pair
+    graph (LSH recall 1.0 — lsh_missed_pairs) and the brute-force 32-gram
+    pair graph (equivalent to the winnowing pass by the shared-fingerprint
+    theorem, already value-checked standalone by substring_pairs)."""
+    labels = run_pipeline(_docs(spark, sf_dir), CFG.with_(substring_min_len=32))
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def _q_dedup_min_support(spark, sf_dir):
     """op 13: clusters below min_support=2 get NULL cluster_id (noise
     suppression) — singletons NULL, planted families keep their label.
@@ -482,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_filtered": _q_dedup_clusters_filtered,
         "dedup_clusters_sketch": _q_dedup_clusters_sketch,
         "dedup_clusters_scheme_b": _q_dedup_clusters_scheme_b,
+        "dedup_clusters_substring": _q_dedup_clusters_substring,
         "dedup_min_support": _q_dedup_min_support,
         "clustering_metrics": _q_clustering_metrics,
         "clustering_entropy": _q_clustering_entropy,
@@ -636,6 +652,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters_scheme_b": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
+        """,
+        "dedup_clusters_substring": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(t, i, 32) AS g
+              FROM norm, unnest(range(1, length(t) - 30)) AS u(i)
+              WHERE length(t) >= 32
+            ),
+            sub_pairs AS (
+              SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            all_pairs AS (
+              SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
+              UNION
+              SELECT src, dst FROM sub_pairs
+            ),
+            edges AS (
+              SELECT src, dst FROM all_pairs
+              UNION ALL
+              SELECT dst, src FROM all_pairs
+            ),
+            reach(id, lab) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            labs AS (
+              SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+            )
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM labs

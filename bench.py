@@ -56,27 +56,8 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {}
 
-    def timed(name, fn):
-        # two runs per query; report the min (steady-state — local-mode
-        # python-worker spin-up adds multi-second jitter to cold runs; both
-        # raw values are recorded under "runs")
-        for _ in range(2):
-            t0 = time.monotonic()
-            fn()
-            runs.setdefault(name, []).append(round(time.monotonic() - t0, 3))
-            # release caches/checkpoints between runs so pinned blocks don't
-            # degrade the next query (fresh-run semantics)
-            spark.catalog.clearCache()
-        queries[name] = min(runs[name])
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-    timed(
-        "q_dedup_docs",
-        lambda: run_pipeline(docs, DedupConfig())
-        .write.mode("overwrite")
-        .parquet(f"{out_base}/docs"),
-    )
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def _clips_job():
         clips = spark.read.parquet(clips_path)
@@ -84,22 +65,51 @@ def main() -> None:
             "parquet.enable.dictionary", "false"
         ).parquet(f"{out_base}/clips")
 
-    timed("q_dedup_clips", _clips_job)
+    jobs = [
+        (
+            "q_dedup_docs",
+            lambda: run_pipeline(docs, DedupConfig())
+            .write.mode("overwrite")
+            .parquet(f"{out_base}/docs"),
+        ),
+        ("q_dedup_clips", _clips_job),
+        (
+            "q_substring_docs",
+            lambda: substring_pairs(docs, "doc_id", "text", min_len=32)
+            .write.mode("overwrite")
+            .parquet(f"{out_base}/substr"),
+        ),
+        (
+            "q_ann_topk",
+            lambda: ann_topk(embs, k=5)
+            .write.mode("overwrite")
+            .parquet(f"{out_base}/ann"),
+        ),
+    ]
 
-    timed(
-        "q_substring_docs",
-        lambda: substring_pairs(docs, "doc_id", "text", min_len=32)
-        .write.mode("overwrite")
-        .parquet(f"{out_base}/substr"),
-    )
+    # warmup (untimed): spins up the Python workers / JIT so the first timed
+    # run of the first query is not charged multi-second cold-start jitter
+    run_pipeline(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        DedupConfig(),
+    ).write.mode("overwrite").parquet(f"{out_base}/warmup")
+    spark.catalog.clearCache()
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    timed(
-        "q_ann_topk",
-        lambda: ann_topk(embs, k=5)
-        .write.mode("overwrite")
-        .parquet(f"{out_base}/ann"),
-    )
+    # INTERLEAVED rounds (A/B/C/D, A/B/C/D, ...): this host's throughput
+    # drifts up to ~2x over tens of minutes, so back-to-back runs of one
+    # query can both land in a slow window (round-2 recorded a 46.5 s
+    # outlier as half a 2-run sample); interleaving spreads the weather
+    # across queries and 3 rounds make a single outlier non-binding.
+    for _ in range(3):
+        for name, fn in jobs:
+            t0 = time.monotonic()
+            fn()
+            runs.setdefault(name, []).append(round(time.monotonic() - t0, 3))
+            # release caches/checkpoints between runs so pinned blocks don't
+            # degrade the next query (fresh-run semantics)
+            spark.catalog.clearCache()
+    for name, _ in jobs:
+        queries[name] = min(runs[name])
 
     total = round(sum(queries.values()), 3)
     clips_per_sec = round(N_CLIPS / queries["q_dedup_clips"], 1)

@@ -143,6 +143,17 @@ def run_pipeline_resumable(
         "bucket_stats", lambda: bucket_stats(band_key_rows(s1, cfg), cfg)
     )
     s2 = runner.stage("pairs", lambda: candidate_pairs(s1, cfg))
+    if cfg.substring_min_len:
+        # substring-pass census rides next to the band census: hot winnow
+        # buckets excluded from candidate gen must be counted, not silent
+        from ..operators.substring import substring_bucket_stats
+
+        runner.stage(
+            "substring_bucket_stats",
+            lambda: substring_bucket_stats(
+                base, cfg.id_col, cfg.text_col, min_len=cfg.substring_min_len
+            ),
+        )
 
     def _edges() -> DataFrame:
         e = verify_pairs(s2, s1, cfg).select("src", "dst", "jaccard")

@@ -76,3 +76,20 @@ def test_resume_off_always_recomputes(spark, documents, base):
     )
     m2 = r2.metrics().where(F.col("attempt") == r2.attempt)
     assert m2.where(~F.col("recomputed")).count() == 0
+
+
+def test_substring_census_stage_written(spark, documents, base):
+    """With the substring pass enabled, the resumable pipeline writes a
+    substring_bucket_stats stage (never-drop-silently: the census is part
+    of the run's lineage tables, queryable after the fact)."""
+    cfg = CFG.with_(substring_min_len=32)
+    labels, runner = run_pipeline_resumable(
+        spark, documents, cfg, base, run_id="sub"
+    )
+    assert labels.count() == documents.count()
+    io = CatalogIO(spark, base)
+    census = io.read("sub/substring_bucket_stats")
+    tiers = {r["tier"] for r in census.collect()}
+    assert tiers <= {"singleton", "cold", "dropped"} and tiers
+    stages = {r["stage"] for r in runner.metrics().collect()}
+    assert "substring_bucket_stats" in stages
