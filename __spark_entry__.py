@@ -3,15 +3,13 @@
 entry(spark)   — flagship near-dup clustering on sf0.001 documents.
 queries()      — one DataFrame-producing callable per implemented operator
                  (SURVEY.md §2); each takes (spark, sf_dir).
-oracle_sql()   — DuckDB-equivalent ANSI SQL for every query except TWO
-                 rows-only entries whose VALUES are hash-family-dependent
-                 and not portable SQL (SURVEY.md §5.2.4):
-                  * minhash_signatures — splitmix64 family with pinned
-                    seeds; the estimator property is pytest-verified and
-                    every downstream stage (band counts, candidates,
-                    clusters) IS value-checked;
-                  * simhash_sketch — 64-bit Charikar bit-majority sketch,
-                    same reasoning.
+oracle_sql()   — DuckDB-equivalent ANSI SQL for EVERY query, including the
+                 hash-family-dependent ones: the splitmix64 finalizer and
+                 the polynomial/fold shingle hashing are re-expressed in
+                 portable SQL over HUGEINT mod-2^64 arithmetic (see the
+                 "hash family in SQL" section), so minhash_signatures and
+                 simhash_sketch are value-checked bit-for-bit against an
+                 independent in-database computation.
                  LSH-dependent queries (dedup_clusters/rollup/edges,
                  ann_cosine) use the EXACT computation as oracle: at the
                  pinned configs on this corpus the approximate stage has
@@ -39,7 +37,8 @@ from lsh_hdc_spark.functions.textstats import (
     quality_micros,
     token_counts,
 )
-from lsh_hdc_spark.functions.sign import signed
+from lsh_hdc_spark.functions.hashing import hash_seeds, mix64
+from lsh_hdc_spark.functions.sign import FOLD_SEED, signed
 from lsh_hdc_spark.operators.cc import connected_components
 from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
 from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk_bruteforce
@@ -211,10 +210,11 @@ def _q_top_terms(spark, sf_dir):
 
 def _q_minhash_signatures(spark, sf_dir):
     """One row per (doc, hash-function index): scalar columns only, so the
-    harness canonicalizer can sort/hash the frame.  Rows-only by design:
-    the MinHash family (splitmix64 with pinned seeds) is not portable SQL;
-    estimator correctness is property-tested in tests/test_sign.py and the
-    downstream candidate/cluster queries are value-checked."""
+    harness canonicalizer can sort/hash the frame.  Value-checked
+    bit-for-bit against _minhash_oracle_sql(), which recomputes the whole
+    splitmix64 chain from the raw text in DuckDB HUGEINT arithmetic;
+    estimator correctness is additionally property-tested in
+    tests/test_sign.py."""
     s = signed(_docs(spark, sf_dir), CFG)
     return s.select("doc_id", F.posexplode("sig").alias("k", "sig_k"))
 
@@ -284,6 +284,8 @@ def _q_dedup_clusters_filtered(spark, sf_dir):
 
 
 def _q_simhash_sketch(spark, sf_dir):
+    """64-bit Charikar sketch per doc — value-checked bit-for-bit against
+    _simhash_oracle_sql() (bit-majority recomputed in DuckDB)."""
     cfg = DedupConfig(signer="simhash", width=64, bandwidth=16)
     return signed(_docs(spark, sf_dir), cfg).select("doc_id", "sketch")
 
@@ -616,6 +618,170 @@ qmicros AS (
 _STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 
 
+# ---------------------------------------------------------------------------
+# Hash family in SQL — splitmix64 + shingle hashing as DuckDB arithmetic
+# ---------------------------------------------------------------------------
+# The signature stage (functions/sign.py) is pure mod-2^64 integer math:
+# token hash = mix64(polynomial(codepoints)), word-shingle hash = FOLD_SEED
+# fold of the window's token hashes, minhash sig_k = min over shingles of
+# mix64(h ^ mix64(kseed_k)), simhash = 64-bit majority vote.  All of it is
+# re-expressible in portable SQL over HUGEINT (int128): a 64x64-bit wrapping
+# multiply is split into 32-bit halves so no intermediate exceeds 2^96, and
+# each splitmix64 stage lives in its own MATERIALIZED CTE (DuckDB expands
+# same-SELECT alias references textually, which is exponential in chain
+# depth — materialization pins each stage to one evaluation).  The only
+# constants inlined from Python are the pinned seeds — the oracle recomputes
+# every hash from the raw text.
+
+_U64 = 1 << 64
+_M1 = 0xBF58476D1CE4E5B9
+_M2 = 0x94D049BB133111EB
+_MAX_TOK_CHARS = 256  # token length bound for the polynomial power table
+
+
+def _mulmod_sql(a: str, m: int) -> str:
+    """(a * m) mod 2^64 with every intermediate < 2^96 (fits HUGEINT)."""
+    mlo = m % (1 << 32)
+    return (
+        f"(((({a}) % 4294967296) * {m}::HUGEINT + "
+        f"(((({a}) // 4294967296) * {mlo}::HUGEINT) % 4294967296) * 4294967296) "
+        f"% {_U64}::HUGEINT)"
+    )
+
+
+def _mix_ctes(src: str, keep: list[str], src_col: str, out_col: str, p: str) -> str:
+    """CTE chain computing out_col = splitmix64(src_col), one stage per CTE."""
+    k = ", ".join(keep)
+    return f"""
+{p}1 AS MATERIALIZED (SELECT {k}, xor({src_col}, ({src_col}) // 1073741824) AS v FROM {src}),
+{p}2 AS MATERIALIZED (SELECT {k}, {_mulmod_sql('v', _M1)} AS v FROM {p}1),
+{p}3 AS MATERIALIZED (SELECT {k}, xor(v, v // 134217728) AS v FROM {p}2),
+{p}4 AS MATERIALIZED (SELECT {k}, {_mulmod_sql('v', _M2)} AS v FROM {p}3),
+{p} AS MATERIALIZED (SELECT {k}, xor(v, v // 2147483648) AS {out_col} FROM {p}4)"""
+
+
+def _pow_table() -> str:
+    """[BASE^0, BASE^1, ...] mod 2^64 as a HUGEINT list literal."""
+    pows, v = [], 1
+    for _ in range(_MAX_TOK_CHARS):
+        pows.append(v)
+        v = (v * 1000003) % _U64  # POLY_BASE, shared with sign.py
+    return "[" + ",".join(f"{p}::HUGEINT" for p in pows) + "]"
+
+
+_POWS = _pow_table()
+
+#: signed-int64 view of a HUGEINT in [0, 2^64) — mirrors hashing.as_i64
+_AS_I64 = (
+    "(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
+    f"THEN {{v}} - {_U64}::HUGEINT ELSE {{v}} END)::BIGINT"
+)
+
+#: word-shingle hashes per doc (parity config: span=3, skip=0, kmin=1,
+#: unique) — token poly+mix64 hash, then the FOLD_SEED window fold, exactly
+#: mirroring sign.py::word_shingle_hashes; DISTINCT per doc at the end
+#: (minhash minima and the simhash query's unique mode are both
+#: multiplicity-insensitive here)
+_SHINGLE_H_SQL = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+tokpos AS MATERIALIZED (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos,
+         len(ts) AS n
+  FROM toks
+),
+tokchars AS (
+  SELECT tok, length(tok) AS L, unnest(range(1, length(tok) + 1)) AS i
+  FROM (SELECT DISTINCT tok FROM tokpos)
+),
+tokpoly AS MATERIALIZED (
+  SELECT tok,
+         sum(unicode(tok[i])::HUGEINT * ({_POWS})[L - i + 1])
+           % {_U64}::HUGEINT AS pv
+  FROM tokchars GROUP BY tok, L
+),{_mix_ctes('tokpoly', ['tok'], 'pv', 'th', 'tokh')},
+tokth AS MATERIALIZED (
+  SELECT p.doc_id, p.pos, p.n, h.th FROM tokpos p JOIN tokh h USING (tok)
+),
+win0 AS (
+  SELECT a.doc_id, a.pos AS w, xor({int(FOLD_SEED)}::HUGEINT, a.th) AS x0
+  FROM tokth a WHERE a.n >= 3 AND a.pos <= a.n - 2
+),{_mix_ctes('win0', ['doc_id', 'w'], 'x0', 'z1', 'winm1')},
+win1 AS (
+  SELECT m.doc_id, m.w, xor(m.z1, b.th) AS x1
+  FROM winm1 m JOIN tokth b ON b.doc_id = m.doc_id AND b.pos = m.w + 1
+),{_mix_ctes('win1', ['doc_id', 'w'], 'x1', 'z2', 'winm2')},
+win2 AS (
+  SELECT m.doc_id, m.w, xor(m.z2, c.th) AS x2
+  FROM winm2 m JOIN tokth c ON c.doc_id = m.doc_id AND c.pos = m.w + 2
+),{_mix_ctes('win2', ['doc_id', 'w'], 'x2', 'z3', 'winm3')},
+short0 AS (
+  SELECT doc_id, n, xor({int(FOLD_SEED)}::HUGEINT, th) AS s0
+  FROM tokth WHERE n <= 2 AND pos = 1
+),{_mix_ctes('short0', ['doc_id', 'n'], 's0', 'sz1', 'shm1')},
+short1 AS (
+  SELECT m.doc_id, xor(m.sz1, b.th) AS s1
+  FROM shm1 m JOIN tokth b ON b.doc_id = m.doc_id AND b.pos = 2
+  WHERE m.n = 2
+),{_mix_ctes('short1', ['doc_id'], 's1', 'sz2', 'shm2')},
+shingle_h AS MATERIALIZED (
+  SELECT DISTINCT doc_id, z FROM (
+    SELECT doc_id, z3 AS z FROM winm3
+    UNION ALL
+    SELECT doc_id, sz1 AS z FROM shm1 WHERE n = 1
+    UNION ALL
+    SELECT doc_id, sz2 AS z FROM shm2
+  )
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """sig_k = min over shingle hashes of mix64(h ^ mix64(kseed_k)); the
+    12 pre-mixed seeds are the only Python-side inputs."""
+    pre = mix64(hash_seeds(CFG.width, CFG.seed))
+    kt = (
+        f"(SELECT unnest(range(0, {CFG.width}))::INT AS k, "
+        f"unnest([{','.join(f'{int(x)}::HUGEINT' for x in pre)}]) AS pre)"
+    )
+    return f"""
+WITH {_SHINGLE_H_SQL},
+mh0 AS (
+  SELECT s.doc_id, kt.k, xor(s.z, kt.pre) AS mx
+  FROM shingle_h s CROSS JOIN {kt} kt
+),{_mix_ctes('mh0', ['doc_id', 'k'], 'mx', 'hv', 'mhm')},
+sigs AS (SELECT doc_id, k, min(hv) AS su FROM mhm GROUP BY doc_id, k)
+SELECT doc_id, k, {_AS_I64.format(v='su')} AS sig_k FROM sigs
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    """64-bit Charikar sketch: per-bit majority over the doc's DISTINCT
+    shingle hashes (cfg.unique), packed little-endian; docs with no
+    shingles sketch to 0 (sign.py zero-fills)."""
+    pow2 = "[" + ",".join(f"{1 << b}::HUGEINT" for b in range(64)) + "]"
+    return f"""
+WITH {_SHINGLE_H_SQL},
+nsh AS (SELECT doc_id, count(*) AS n FROM shingle_h GROUP BY doc_id),
+bits AS (
+  SELECT s.doc_id, bt.b, sum((s.z // ({pow2})[bt.b + 1]) % 2) AS cnt
+  FROM shingle_h s CROSS JOIN (SELECT unnest(range(0, 64))::INT AS b) bt
+  GROUP BY s.doc_id, bt.b
+),
+sk AS (
+  SELECT bits.doc_id,
+         sum(CASE WHEN 2 * cnt >= n THEN ({pow2})[b + 1]
+                  ELSE 0::HUGEINT END) AS sku
+  FROM bits JOIN nsh USING (doc_id) GROUP BY bits.doc_id
+)
+SELECT d.doc_id, coalesce({_AS_I64.format(v='sku')}, 0) AS sketch
+FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+"""
+
+
 def _profile_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
 
@@ -825,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
         """,
+        "minhash_signatures": _minhash_oracle_sql(),
+        "simhash_sketch": _simhash_oracle_sql(),
         "band_key_stats": f"""
             WITH toks AS (
               SELECT doc_id,
