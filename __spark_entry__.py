@@ -283,6 +283,50 @@ def _q_dedup_clusters_filtered(spark, sf_dir):
     )
 
 
+def _q_clips_pipeline(spark, sf_dir):
+    """Audio-axis flagship made harness-visible (BASELINE.json graft cell:
+    pyspark x audio).  Derives a clips table from `documents` with every
+    non-binary attribute — and the PCM samples themselves — a closed-form
+    function of doc_id (sources/clips.py::clips_from_documents), runs the
+    byte-carrying pipeline (bytes pruned from the dedup plan, re-joined
+    once at the end), then DECODES the output WAVs back to n_samples /
+    pcm_sum.  The oracle recomputes those stats arithmetically and the
+    cluster labels via the exact-Jaccard recursive CTE, so a hash match
+    certifies the full WAV encode -> prune -> label-join -> decode path,
+    not just the transcript dedup."""
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.functions.audio import with_pcm_stats
+    from lsh_hdc_spark.plans.pipeline import run_pipeline_clips
+    from lsh_hdc_spark.sources.clips import clips_from_documents
+
+    clips = clips_from_documents(_docs(spark, sf_dir))
+    out = with_pcm_stats(run_pipeline_clips(clips, CLIPS))
+    return out.select(
+        "clip_id",
+        F.col("sr_hz").cast("long").alias("sr_hz"),
+        F.col("dur_ms").cast("long").alias("dur_ms"),
+        "n_samples",
+        "pcm_sum",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _q_audio_invariants(spark, sf_dir):
+    """Per-row decoded-PCM invariant verdicts (BASELINE.json input_hint:
+    "decoded-PCM allclose SNR>=30dB") as EXACT integers: clip pairs with
+    closed-form signal + id-scaled closed-form noise (sources/clips.py::
+    noisy_clip_pairs) are decoded from their WAV bytes and reduced to
+    integer power sums; pcm_ok applies the 30 dB rule as p_sig >=
+    1000*p_noise, which the oracle mirrors arithmetically — verdicts VARY
+    by row (the amplitude sweep crosses the acceptance boundary), so this
+    is not an all-true echo."""
+    from lsh_hdc_spark.functions.audio import pcm_power_invariants
+    from lsh_hdc_spark.sources.clips import noisy_clip_pairs
+
+    return pcm_power_invariants(noisy_clip_pairs(_docs(spark, sf_dir)))
+
+
 def _q_simhash_sketch(spark, sf_dir):
     """64-bit Charikar sketch per doc — value-checked bit-for-bit against
     _simhash_oracle_sql() (bit-majority recomputed in DuckDB)."""
@@ -505,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_entropy": _q_clustering_entropy,
         "roc_auc": _q_roc_auc,
         "embedding_dup_clusters": _q_embedding_dup_clusters,
+        "clips_pipeline": _q_clips_pipeline,
+        "audio_invariants": _q_audio_invariants,
         "simhash_sketch": _q_simhash_sketch,
         "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
@@ -993,6 +1039,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_oracle_sql(),
         "simhash_sketch": _simhash_oracle_sql(),
+        "clips_pipeline": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE},
+            meta AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 10 = 0 THEN 8000
+                           ELSE 16000 END)::BIGINT AS sr_hz,
+                     (40 + (doc_id % 200))::BIGINT AS dur_ms
+              FROM documents
+            ),
+            pcm AS (
+              SELECT doc_id, count(*)::BIGINT AS n_samples,
+                     sum(((doc_id + i) % 65536) - 32768)::BIGINT AS pcm_sum
+              FROM (SELECT doc_id, unnest(range(0, (sr_hz * dur_ms) // 1000)) AS i
+                    FROM meta)
+              GROUP BY doc_id
+            ),
+            sized AS (
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM labs
+            )
+            SELECT printf('clip%08d', s.doc_id) AS clip_id,
+                   m.sr_hz, m.dur_ms, p.n_samples, p.pcm_sum,
+                   printf('clip%08d', s.cluster_id) AS cluster_id,
+                   s.cluster_size::BIGINT AS cluster_size
+            FROM sized s JOIN meta m USING (doc_id) JOIN pcm p USING (doc_id)
+        """,
+        "audio_invariants": """
+            WITH meta AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN 8000 ELSE 16000 END AS sr_hz,
+                     40 + (doc_id % 200) AS dur_ms,
+                     CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 4
+                          WHEN 2 THEN 16 ELSE 64 END AS amp
+              FROM documents
+            ),
+            sums AS (
+              SELECT doc_id,
+                     sum(a * a)::BIGINT AS p_sig,
+                     sum(nz * nz)::BIGINT AS p_noise
+              FROM (
+                SELECT doc_id,
+                       ((doc_id + i) % 32768) - 16384 AS a,
+                       (((doc_id + 3 * i) % 64) - 32) * amp AS nz
+                FROM (SELECT doc_id, amp,
+                             unnest(range(0, (sr_hz * dur_ms) // 1000)) AS i
+                      FROM meta)
+              )
+              GROUP BY doc_id
+            )
+            SELECT printf('clip%08d', doc_id) AS clip_id, p_sig, p_noise,
+                   p_sig >= 1000 * p_noise AS pcm_ok
+            FROM sums
+        """,
         "band_key_stats": f"""
             WITH toks AS (
               SELECT doc_id,

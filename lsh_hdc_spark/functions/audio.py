@@ -127,3 +127,63 @@ def audio_invariants(
 def invariant_violations(inv: DataFrame) -> int:
     """Count of rows violating either invariant (0 = pass)."""
     return inv.where(~F.col("transcript_equal") | ~F.col("pcm_ok")).count()
+
+
+def pcm_power_invariants(pairs: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """Exact-integer twin of audio_invariants: decode (bytes_src, bytes_out)
+    and emit (id, p_sig, p_noise, pcm_ok) where p_sig = sum(ref^2) and
+    p_noise = sum((ref-out)^2) are exact int64 sums, and pcm_ok applies the
+    SNR >= 30 dB rule in integer form — 10*log10(ps/pn) >= 30  <=>
+    ps >= 1000*pn — so no float ever enters the verdict and a SQL oracle
+    can mirror it when the PCM follows a closed form (sources/clips.py::
+    noisy_clip_pairs).  p_noise = 0 (bit-exact passthrough) is pcm_ok."""
+
+    def _powers(batches):
+        for pdf in batches:
+            ps = np.empty(len(pdf), dtype=np.int64)
+            pn = np.empty(len(pdf), dtype=np.int64)
+            for i, (bs, bo, c) in enumerate(
+                zip(pdf["bytes_src"], pdf["bytes_out"], pdf["codec"])
+            ):
+                ref, _ = decode_clip(bytes(bs), c)
+                out, _ = decode_clip(bytes(bo), c)
+                r = ref.astype(np.int64)
+                d = r - out.astype(np.int64)
+                ps[i] = int((r * r).sum())
+                pn[i] = int((d * d).sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "p_sig": ps, "p_noise": pn})
+
+    stats = pairs.select(id_col, "codec", "bytes_src", "bytes_out").mapInPandas(
+        _powers, f"{id_col} string, p_sig long, p_noise long"
+    )
+    return stats.withColumn("pcm_ok", F.col("p_sig") >= 1000 * F.col("p_noise"))
+
+
+def with_pcm_stats(df: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """Append (n_samples, pcm_sum) decoded from each row's WAV bytes.
+
+    One Arrow-batched mapInPandas pass over (id, bytes, codec) only — the
+    stats are re-joined by id so untouched columns never cross the Python
+    boundary.  pcm_sum is the exact int64 sum of the decoded samples: a
+    cheap whole-signal checksum that an arithmetic oracle can mirror when
+    the PCM is a known deterministic function of the row id (see
+    sources/clips.py::clips_from_documents)."""
+
+    def _stats(batches):
+        for pdf in batches:
+            n = np.empty(len(pdf), dtype=np.int64)
+            s = np.empty(len(pdf), dtype=np.int64)
+            for i, (b, c) in enumerate(zip(pdf["bytes"], pdf["codec"])):
+                if b is None:
+                    n[i], s[i] = 0, 0
+                    continue
+                pcm, _ = decode_clip(bytes(b), c)
+                n[i] = pcm.size
+                s[i] = int(pcm.astype(np.int64).sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "n_samples": n, "pcm_sum": s})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    stats = df.select(id_col, "bytes", "codec").mapInPandas(
+        _stats, f"{id_col} {id_type}, n_samples long, pcm_sum long"
+    )
+    return df.join(stats, id_col)

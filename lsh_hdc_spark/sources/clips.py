@@ -155,6 +155,91 @@ def synth_clips(
     return base.mapInPandas(_gen, CLIPS_SCHEMA)
 
 
+def clips_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Derive a clips table (BASELINE.json input_hint shape) from a text
+    corpus, with every non-binary attribute an ARITHMETIC function of the
+    id so a SQL oracle can recompute it:
+
+        clip_id    = printf('clip%08d', id)
+        sr_hz      = 8000 if id % 10 == 0 else 16000
+        dur_ms     = 40 + (id % 200)
+        pcm[i]     = ((id + i) % 65536) - 32768,  i < sr_hz*dur_ms//1000
+        bytes      = RIFF/WAVE PCM16 encoding of pcm
+        transcript = the document's text
+
+    The PCM samples themselves follow the closed form, so after the bytes
+    ride through the pipeline a decode pass (audio.with_pcm_stats) yields
+    n_samples/pcm_sum values that DuckDB can verify without ever touching
+    the binary — the harness's value check then covers the full WAV
+    encode -> prune -> join -> decode path."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                sr = 8000 if did % 10 == 0 else 16000
+                dur = 40 + (did % 200)
+                n = sr * dur // 1000
+                pcm = ((did + np.arange(n, dtype=np.int64)) % 65536 - 32768).astype(
+                    np.int16
+                )
+                rows.append(
+                    (f"clip{did:08d}", pcm16_to_wav(pcm, sr), sr, dur, "pcm_s16le", text)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_gen, CLIPS_SCHEMA)
+
+
+def noisy_clip_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(clip_id, codec, bytes_src, bytes_out) pairs whose PCM and additive
+    noise both follow a closed form, for exact-arithmetic SNR oracles:
+
+        a_i = ((id + i) % 32768) - 16384              (reference signal)
+        n_i = (((id + 3*i) % 64) - 32) * 4^(id % 4)   (noise, amp by id)
+        out = a + n                                    (|out| <= 18432, no clip)
+
+    The per-id amplitude multiplier 4^(id % 4) sweeps the pair across the
+    30 dB acceptance boundary (~54 / 42 / 30 / 18 dB), so a downstream
+    pcm_ok verdict VARIES by row instead of being vacuously true.  Both
+    power sums are integer-exact functions of the id, mirrorable in SQL."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                sr = 8000 if did % 10 == 0 else 16000
+                dur = 40 + (did % 200)
+                n = sr * dur // 1000
+                i = np.arange(n, dtype=np.int64)
+                a = ((did + i) % 32768 - 16384).astype(np.int64)
+                nz = ((did + 3 * i) % 64 - 32) * (4 ** (did % 4))
+                rows.append(
+                    (
+                        f"clip{did:08d}",
+                        "pcm_s16le",
+                        pcm16_to_wav(a.astype(np.int16), sr),
+                        pcm16_to_wav((a + nz).astype(np.int16), sr),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "codec", "bytes_src", "bytes_out"]
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _gen, "clip_id string, codec string, bytes_src binary, bytes_out binary"
+    )
+
+
 def true_family(clip_index: int, n: int) -> int:
     """Ground-truth family of a synthesized clip (for recall tests):
     families get their id, singletons get -1."""

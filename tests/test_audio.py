@@ -95,3 +95,50 @@ def test_families_cocluster(spark, clips):
     precision = tp / len(ppairs) if ppairs else 1.0
     assert recall >= 0.85, recall
     assert precision >= 0.95, precision
+
+
+def test_clips_from_documents_closed_form(spark):
+    """Every attribute of the derived clips table — including the decoded
+    PCM checksum — must follow the documented closed form, so the
+    clips_pipeline SQL oracle is checking real arithmetic, not echoes."""
+    from lsh_hdc_spark.functions.audio import with_pcm_stats
+    from lsh_hdc_spark.sources.clips import clips_from_documents
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (10, "delta epsilon zeta"), (205, "x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.clip_id: r
+        for r in with_pcm_stats(clips_from_documents(docs)).collect()
+    }
+    assert set(rows) == {"clip00000007", "clip00000010", "clip00000205"}
+    for did in (7, 10, 205):
+        r = rows[f"clip{did:08d}"]
+        sr = 8000 if did % 10 == 0 else 16000
+        dur = 40 + did % 200
+        n = sr * dur // 1000
+        assert (r.sr_hz, r.dur_ms, r.n_samples) == (sr, dur, n)
+        assert r.pcm_sum == sum((did + i) % 65536 - 32768 for i in range(n))
+        # decode really reads the WAV bytes, not the metadata
+        pcm, got_sr = wav_to_pcm16(bytes(r.bytes))
+        assert got_sr == sr and pcm.size == n
+
+
+def test_pcm_power_invariants_verdicts_vary(spark):
+    """The SNR sweep in noisy_clip_pairs must produce BOTH verdicts, and
+    the integer rule must agree with the float snr_db >= 30 rule."""
+    from lsh_hdc_spark.functions.audio import pcm_power_invariants
+    from lsh_hdc_spark.sources.clips import noisy_clip_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(16)], "doc_id long, text string"
+    )
+    rows = pcm_power_invariants(noisy_clip_pairs(docs)).collect()
+    assert len(rows) == 16
+    verdicts = {r.pcm_ok for r in rows}
+    assert verdicts == {True, False}, verdicts
+    for r in rows:
+        float_ok = 10 * np.log10(r.p_sig / r.p_noise) >= 30 if r.p_noise else True
+        assert r.pcm_ok == (r.p_sig >= 1000 * r.p_noise)
+        assert r.pcm_ok == float_ok, (r.clip_id, r.p_sig, r.p_noise)
