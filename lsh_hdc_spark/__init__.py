@@ -22,6 +22,7 @@ from .operators.clustering_metrics import (
 from .operators.ranking import aul_score, roc_auc, roc_points
 from .plans.pipeline import cluster_rollup, dedup_edges, run_pipeline
 from .session import get_spark
+from .streaming import StreamIndex, attach_batch, run_attach_stream
 
 __all__ = [
     "DedupConfig",
@@ -41,6 +42,9 @@ __all__ = [
     "roc_auc",
     "roc_points",
     "aul_score",
+    "StreamIndex",
+    "attach_batch",
+    "run_attach_stream",
 ]
 
 __version__ = "0.1.0"
