@@ -54,18 +54,29 @@ def main() -> None:
     builder = (
         SparkSession.builder.appName("scaling-job")
         .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE OFF for the measured job: partition counts are already sized
+        # explicitly (4x cores), and every AQE query-stage materialization
+        # is serial driver work — a per-stage fixed cost that the phase
+        # profile showed does not shrink with cores, i.e. pure scaling-
+        # efficiency loss (~8-11 s/phase at 1.2M clips)
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
         # verify-stage rows carry ~1.6 KB hashed-shingle arrays; sorting fat
         # rows is what SMJ spends its time on — hash joins skip the sort
         # (measured 73 s -> 26 s on the 400k-clip verify stage)
         .config("spark.sql.join.preferSortMergeJoin", "false")
-        # the clips files are dominated by the (pruned-out) bytes column, so
-        # default 128 MB splits starve the sign stage of input parallelism
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # the clips files are dominated by the (pruned-out) bytes column;
+        # 64 MB splits give ~375 scan tasks at 1.2M clips — ample balance
+        # at 8-32 cores without per-task Arrow-stage overhead dominating
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # this guest kernel serializes page allocation and write() syscalls
+        # across threads (BENCH/BASELINE.md appendix), so shuffle-file I/O
+        # overhead grows with the thread count; 32x larger write buffers
+        # cut syscalls per shuffle byte by the same factor
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
     )
     # Shuffle files on tmpfs: this sandbox has ONE virtio disk whose
     # throughput anti-scales with writer concurrency (BENCH/BASELINE.md),

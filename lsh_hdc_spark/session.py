@@ -54,6 +54,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # syscalls-per-shuffle-byte is the scaling tax on hosts whose kernel
+        # serializes write()/page-alloc across threads (BENCH/BASELINE.md
+        # appendix); 1 MB shuffle write buffers + 512 KB lz4 blocks cut the
+        # syscall count ~32x for a few MB of extra memory per active task
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
         # ANSI-on is the Spark 4 default AND a standing requirement: the
         # product must work on sessions it does not own (e.g. the driver
         # harness), which run default-ANSI.  Set explicitly so our own tests

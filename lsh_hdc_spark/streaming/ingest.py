@@ -128,8 +128,10 @@ def attach_batch(
     if index.exists(spark):
         idx = spark.read.parquet(index.sig_dir)
         best = _best_index_match(s_new, idx, cfg)
-        # adopt per LOCAL cluster: the best indexed match of any member wins
-        # (max jaccard already folded; min label across members for ties)
+        # adopt per LOCAL cluster: any member match attaches the whole local
+        # cluster; when members match different index clusters the smallest
+        # label wins (deterministic; the clusters are NOT merged — greedy
+        # semantics per the module docstring)
         adopt = (
             local.join(best, iid)
             .groupBy("local_cluster")
