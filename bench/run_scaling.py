@@ -103,9 +103,12 @@ def one_run(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-clips", type=int, default=2_400_000)
+    # headline protocol (BENCH/BASELINE.md): 1 vs 4 cores — the rung of the
+    # thread-count ladder with the least single-kernel contamination; run
+    # --base-cores 2 to reproduce the disclosed 2-vs-8 rung
+    ap.add_argument("--n-clips", type=int, default=1_200_000)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--base-cores", type=int, default=2)
+    ap.add_argument("--base-cores", type=int, default=1)
     args = ap.parse_args()
 
     zpath = make_zip()
