@@ -61,9 +61,15 @@ def main() -> None:
 
     def _clips_job():
         clips = spark.read.parquet(clips_path)
-        run_pipeline_clips(clips, CLIPS).write.mode("overwrite").option(
-            "parquet.enable.dictionary", "false"
-        ).parquet(f"{out_base}/clips")
+        # coalesce the byte-bearing output: the single virtio disk
+        # anti-scales with concurrent writers (BENCH/BASELINE.md), so 8
+        # writer tasks beat 32 (measured ~15% on the warm path); the
+        # compute stages above the write keep full parallelism
+        run_pipeline_clips(clips, CLIPS).coalesce(8).write.mode(
+            "overwrite"
+        ).option("parquet.enable.dictionary", "false").parquet(
+            f"{out_base}/clips"
+        )
 
     jobs = [
         (
