@@ -1,3 +1,17 @@
-from .ingest import StreamIndex, attach_batch, run_attach_stream
+from .ingest import (
+    StreamIndex,
+    attach_batch,
+    rebuild_index,
+    run_attach_stream,
+    seed_index,
+    write_index_epoch,
+)
 
-__all__ = ["StreamIndex", "attach_batch", "run_attach_stream"]
+__all__ = [
+    "StreamIndex",
+    "attach_batch",
+    "rebuild_index",
+    "run_attach_stream",
+    "seed_index",
+    "write_index_epoch",
+]
