@@ -521,6 +521,72 @@ def _q_ann_cosine(spark, sf_dir):
     return ann_topk(_embs(spark, sf_dir), k=5, n_bits=64, bands=32)
 
 
+def _q_aul_score(spark, sf_dir):
+    """AUL ranking score (op 20, ``lsh_hdc/ranking.py::
+    aul_score_from_clusters`` [M] — the reference module is unreadable, so
+    the curve convention carries [M] confidence: clusters scanned
+    largest-first, x = fraction of clusters, y = fraction of items,
+    trapezoidal area; 0.5 for any equal-size partition).  Evaluated over
+    the (lang, source) cross-labeling of the documents table — many
+    clusters with varied sizes, so the distinct-size census, the
+    descending cumulative window, and the tie handling are all exercised.
+    Exact-integer staging (a2 = doubled area numerator) mirrored term for
+    term in the oracle; one float division, micro-quantized."""
+    import math
+
+    from lsh_hdc_spark.operators.ranking import aul_counts
+
+    labeled = _docs(spark, sf_dir).select(
+        F.concat_ws(":", "lang", "source").alias("cl")
+    )
+    a2, c, n = aul_counts(labeled, "cl")
+    aul_micros = int(math.floor(a2 / (2.0 * c * n) * 1e6 + 0.5))
+    return spark.createDataFrame(
+        [(a2, c, n, aul_micros)],
+        "a2 long, n_clusters long, n_items long, aul_micros long",
+    )
+
+
+def _q_streaming_attach(spark, sf_dir):
+    """Streaming incremental-dedup attach (streaming twin of op 14,
+    VERDICT r3 item 2): the documents table arrives as THREE micro-batches
+    (doc_id % 3) over an initially-empty signature index.  Each batch
+    co-clusters in-batch dup groups, then greedily adopts the
+    best-matching indexed cluster (max Jaccard, ties to the smallest
+    label); its labeled signatures become index state for LATER batches.
+    attach_batch is the exact function foreachBatch runs in production
+    (streaming/ingest.py) — driven here as sequential batches so the
+    result is a deterministic DataFrame the DuckDB oracle can replicate
+    (greedy adopt = per-batch argmax-Jaccard over the accumulated index;
+    LSH recall 1.0 at the parity config makes exact-Jaccard SQL a true
+    oracle, same argument as dedup_clusters)."""
+    import shutil
+    import tempfile
+
+    from lsh_hdc_spark.streaming import StreamIndex, attach_batch, write_index_epoch
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_attach_")
+    index = StreamIndex(f"{base}/sig", f"{base}/labels", f"{base}/keys")
+    outs = []
+    try:
+        for k in range(3):
+            b = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == k)
+            labels, rows = attach_batch(b, CFG, index)
+            write_index_epoch(rows, index, CFG.id_col, epoch=k)
+            outs.append(labels.withColumn("batch", F.lit(k).cast("long")))
+    finally:
+        # labels are eagerly checkpointed inside attach_batch, so the
+        # returned plan no longer reads the temp index
+        shutil.rmtree(base, ignore_errors=True)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "batch"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -555,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
         "ann_cosine": _q_ann_cosine,
+        "streaming_attach": _q_streaming_attach,
+        "aul_score": _q_aul_score,
     }
 
 
@@ -830,6 +898,82 @@ FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
 
 def _profile_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+
+
+def _streaming_attach_oracle_sql(n_batches: int = 3) -> str:
+    """Sequential greedy-attach semantics in pure SQL: batch k's labels are
+    in-batch connected components (exact-Jaccard edges within the batch)
+    with each local cluster adopting the best-matching earlier-batch
+    cluster — argmax Jaccard per new doc (ties to the smallest label),
+    min over the local cluster's matched members.  Index labels are the
+    FINAL labels of earlier batches, so adoption is transitive across
+    batches exactly like the growing on-disk index."""
+    blocks = []
+    finals = []
+    for k in range(n_batches):
+        prev = (
+            " UNION ALL ".join(f"SELECT * FROM lab{j}" for j in range(k))
+            if k
+            else None
+        )
+        attach = (
+            f"""
+prev{k} AS ({prev}),
+m{k} AS (
+  SELECT j.xa AS nid, i.cluster_id AS icluster, max(j.jaccard) AS jc
+  FROM jac j
+  JOIN prev{k} i ON i.doc_id = j.xb
+  JOIN batchof x ON x.doc_id = j.xa AND x.bk = {k}
+  GROUP BY 1, 2
+),
+best{k} AS (
+  SELECT nid, icluster FROM (
+    SELECT nid, icluster,
+           row_number() OVER (PARTITION BY nid
+                              ORDER BY jc DESC, icluster) AS rk
+    FROM m{k}) WHERE rk = 1
+),
+adopt{k} AS (
+  SELECT l.cluster_id AS lc, min(b.icluster) AS ic
+  FROM local{k} l JOIN best{k} b ON b.nid = l.doc_id GROUP BY 1
+),
+lab{k} AS (
+  SELECT l.doc_id, coalesce(a.ic, l.cluster_id) AS cluster_id
+  FROM local{k} l LEFT JOIN adopt{k} a ON a.lc = l.cluster_id
+)"""
+            if k
+            else f"lab{k} AS (SELECT doc_id, cluster_id FROM local{k})"
+        )
+        blocks.append(
+            f"""
+e{k} AS (
+  SELECT j.xa, j.xb FROM jac j
+  JOIN batchof x ON x.doc_id = j.xa AND x.bk = {k}
+  JOIN batchof y ON y.doc_id = j.xb AND y.bk = {k}
+),
+reach{k}(id, lab) AS (
+  SELECT doc_id, doc_id FROM batchof WHERE bk = {k}
+  UNION
+  SELECT e.xb, r.lab FROM reach{k} r JOIN e{k} e ON e.xa = r.id
+),
+local{k} AS (
+  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach{k} GROUP BY id
+),{attach}"""
+        )
+        finals.append(
+            f"SELECT doc_id, cluster_id, {k}::BIGINT AS batch FROM lab{k}"
+        )
+    return f"""
+WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
+batchof AS (SELECT doc_id, doc_id % 3 AS bk FROM documents),
+jac AS (
+  SELECT src AS xa, dst AS xb, jaccard FROM pairs WHERE jaccard >= {T_PARITY}
+  UNION ALL
+  SELECT dst AS xa, src AS xb, jaccard FROM pairs WHERE jaccard >= {T_PARITY}
+),
+{",".join(blocks)}
+{" UNION ALL ".join(finals)}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1266,6 +1410,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
             )
             SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+        """,
+        "streaming_attach": _streaming_attach_oracle_sql(),
+        "aul_score": """
+            WITH sizes AS (
+              SELECT concat_ws(':', lang, source) AS cl, count(*) AS sz
+              FROM documents GROUP BY 1
+            ),
+            census AS (SELECT sz, count(*) AS n_c FROM sizes GROUP BY sz),
+            per AS (SELECT sz, n_c, sz * n_c AS n_it FROM census),
+            cum AS (
+              SELECT n_c, n_it,
+                     coalesce(sum(n_it) OVER (ORDER BY sz DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS above
+              FROM per
+            )
+            SELECT CAST(sum(n_c * (2 * above + n_it)) AS BIGINT) AS a2,
+                   CAST(sum(n_c) AS BIGINT) AS n_clusters,
+                   CAST(sum(n_it) AS BIGINT) AS n_items,
+                   CAST(floor(sum(n_c * (2 * above + n_it))
+                              / (2.0 * sum(n_c) * sum(n_it)) * 1e6 + 0.5)
+                        AS BIGINT) AS aul_micros
+            FROM cum
         """,
         "ann_cosine": """
             WITH unit AS (

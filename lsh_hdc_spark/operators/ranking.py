@@ -89,6 +89,38 @@ def roc_points(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def aul_counts(
+    labels: DataFrame, cluster_col: str = "cluster_id"
+) -> tuple[int, int, int]:
+    """(a2, n_clusters, n_items): the AUL trapezoid area staged as ONE exact
+    integer — AUL = a2 / (2 * n_clusters * n_items).
+
+    Scanning distinct sizes descending with dx = n_c/C, dy = n_items/N,
+    area = Σ dx*(y + dy/2) multiplies out to
+    a2 = Σ n_c * (2 * items_in_larger_sizes + n_items_at_size): every
+    intermediate is an integer, so the value is reproducible bit-for-bit
+    across engines (the roc_auc_counts pattern; closes the VERDICT r3
+    AUL-oracle item).  The aggregation runs over DISTINCT cluster sizes
+    only — tiny at any corpus scale."""
+    sizes = labels.groupBy(cluster_col).agg(F.count("*").alias("sz"))
+    census = sizes.groupBy("sz").agg(F.count("*").alias("n_c"))
+    per = census.select("sz", "n_c", (F.col("sz") * F.col("n_c")).alias("n_it"))
+    w = Window.orderBy(F.desc("sz")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "n_c",
+        "n_it",
+        F.coalesce(F.sum("n_it").over(w), F.lit(0)).alias("above"),
+    )
+    row = cum.agg(
+        F.coalesce(
+            F.sum(F.col("n_c") * (2 * F.col("above") + F.col("n_it"))), F.lit(0)
+        ).alias("a2"),
+        F.coalesce(F.sum("n_c"), F.lit(0)).alias("c"),
+        F.coalesce(F.sum("n_it"), F.lit(0)).alias("n"),
+    ).collect()[0]
+    return int(row["a2"]), int(row["c"]), int(row["n"])
+
+
 def aul_score(labels: DataFrame, cluster_col: str = "cluster_id") -> float:
     """Area under the lift curve of a clustering, scanned largest-cluster
     first — the unsupervised quality score of ``aul_score_from_clusters``
@@ -105,22 +137,10 @@ def aul_score(labels: DataFrame, cluster_col: str = "cluster_id") -> float:
 
     Distributed shape: one groupBy(cluster) + one aggregation over DISTINCT
     sizes (the curve is linear between knees, one knee per distinct size,
-    so the exact area needs only the tiny distinct-size census).
+    so the exact area needs only the tiny distinct-size census); the area
+    is staged as an exact integer by aul_counts and divided once here.
     """
-    sizes = labels.groupBy(cluster_col).agg(F.count("*").alias("sz"))
-    census = sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
-    rows = census.select(
-        "sz", "n_clusters", (F.col("sz") * F.col("n_clusters")).alias("n_items")
-    ).collect()
-    if not rows:
+    a2, c, n = aul_counts(labels, cluster_col)
+    if c == 0 or n == 0:
         return 0.5
-    total_clusters = sum(r["n_clusters"] for r in rows)
-    total_items = sum(r["n_items"] for r in rows)
-    y = 0.0
-    area = 0.0
-    for r in sorted(rows, key=lambda r: -r["sz"]):
-        dx = r["n_clusters"] / total_clusters
-        dy = r["n_items"] / total_items
-        area += dx * (y + dy / 2.0)
-        y += dy
-    return area
+    return a2 / (2 * c * n)
