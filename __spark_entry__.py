@@ -809,7 +809,14 @@ tokpos AS MATERIALIZED (
   FROM toks
 ),
 tokchars AS (
-  SELECT tok, length(tok) AS L, unnest(range(1, length(tok) + 1)) AS i
+  -- guard: a token longer than the power table would silently index NULL
+  -- and corrupt the oracle hash (ADVICE r3); fail loudly instead
+  SELECT tok,
+         CASE WHEN length(tok) > {_MAX_TOK_CHARS}
+              THEN error('token exceeds _MAX_TOK_CHARS='
+                         || '{_MAX_TOK_CHARS} — raise the oracle power-table bound')
+              ELSE length(tok) END AS L,
+         unnest(range(1, length(tok) + 1)) AS i
   FROM (SELECT DISTINCT tok FROM tokpos)
 ),
 tokpoly AS MATERIALIZED (
@@ -1012,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM labs
         """,
-        "dedup_clusters_substring": f"""
+        "dedup_clusters_substring": rf"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
             norm AS (
               SELECT doc_id,

@@ -61,10 +61,15 @@ def main() -> None:
 
     def _clips_job():
         clips = spark.read.parquet(clips_path)
-        # coalesce the byte-bearing output: the single virtio disk
+        # coalesce the byte-bearing tail to 8 tasks: the single virtio disk
         # anti-scales with concurrent writers (BENCH/BASELINE.md), so 8
-        # writer tasks beat 32 (measured ~15% on the warm path); the
-        # compute stages above the write keep full parallelism
+        # writer tasks beat 32 (measured ~15% on the warm path).  Note
+        # coalesce propagates back through the final label join, so the
+        # byte-shuffling join stage ALSO runs at 8 tasks — intentional: it
+        # is disk-I/O-bound on the same device (a repartition(8) instead
+        # would add a full shuffle of the byte rows just to keep a
+        # disk-bound join at 32 tasks).  Dedup compute stages above the
+        # labels join keep full parallelism.
         run_pipeline_clips(clips, CLIPS).coalesce(8).write.mode(
             "overwrite"
         ).option("parquet.enable.dictionary", "false").parquet(
@@ -99,6 +104,13 @@ def main() -> None:
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         DedupConfig(),
     ).write.mode("overwrite").parquet(f"{out_base}/warmup")
+    # pre-warm the ~400 MB clips parquet into the page cache (untimed):
+    # round-3's q_dedup_clips first run was 66.8 s vs 8.6 s warm — cold
+    # virtio-disk reads, not compute (VERDICT r3 'what's wrong' item 3).
+    # crc32 over the byte column forces every page to actually be read.
+    spark.read.parquet(clips_path).selectExpr(
+        "sum(crc32(bytes))", "sum(length(transcript))"
+    ).collect()
     spark.catalog.clearCache()
 
     # INTERLEAVED rounds (A/B/C/D, A/B/C/D, ...): this host's throughput
@@ -114,8 +126,11 @@ def main() -> None:
             # release caches/checkpoints between runs so pinned blocks don't
             # degrade the next query (fresh-run semantics)
             spark.catalog.clearCache()
+    medians: dict[str, float] = {}
     for name, _ in jobs:
         queries[name] = min(runs[name])
+        rs = sorted(runs[name])
+        medians[name] = rs[len(rs) // 2]
 
     total = round(sum(queries.values()), 3)
     clips_per_sec = round(N_CLIPS / queries["q_dedup_clips"], 1)
@@ -131,6 +146,7 @@ def main() -> None:
                 "n_clips": N_CLIPS,
                 "clips_per_sec": clips_per_sec,
                 "runs": runs,
+                "queries_median": medians,
             }
         )
     )

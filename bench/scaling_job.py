@@ -75,7 +75,7 @@ def main() -> None:
         # overhead grows with the thread count; 32x larger write buffers
         # cut syscalls per shuffle byte by the same factor
         .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.shuffle.localDisk.file.output.buffer", "1m")
         .config("spark.io.compression.lz4.blockSize", "512k")
     )
     # Shuffle files on tmpfs: this sandbox has ONE virtio disk whose

@@ -76,6 +76,12 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     return labels
 
 
+#: salt fanout for the two-phase member cap — a degenerate mega-cluster is
+#: split across this many parallel pre-cap tasks (size it ~sqrt(largest
+#: expected component / member_cap) for a real deployment)
+_ROLLUP_SALTS = 64
+
+
 def cluster_rollup(
     labels: DataFrame, id_col: str, member_cap: int | None = 100
 ) -> DataFrame:
@@ -85,26 +91,36 @@ def cluster_rollup(
     `member_ids` is capped to the `member_cap` smallest ids per cluster by
     default: a degenerate mega-cluster (boilerplate text) would otherwise
     make one aggregation task hold the whole component's id list in memory
-    at 100x scale.  The cap is applied BEFORE the aggregation (row_number
-    window, disk-spillable sort), so no collect_list buffer ever exceeds
-    member_cap elements.  `cluster_size` always carries the exact count.
+    at 100x scale.  The cap is TWO-PHASE (VERDICT r3 item 5): phase one
+    keeps the `member_cap` smallest ids per (cluster_id, salt) — the
+    row_number window partitions on the salted key, so a mega-cluster's
+    sort is spread across _ROLLUP_SALTS parallel spillable tasks instead
+    of one serial task; phase two re-caps the <= salts*cap survivors per
+    cluster (the global smallest `cap` is a subset of the per-salt smallest
+    `cap`s, so the result is exact).  No collect_list buffer ever exceeds
+    salts*cap elements.  `cluster_size` always carries the exact count.
     Pass member_cap=None for the complete list (report-sized outputs only —
     e.g. the DuckDB oracle comparison at test scale).
     """
     base = labels.where(F.col("cluster_size") >= 2)
     if member_cap is not None:
-        w = Window.partitionBy("cluster_id").orderBy(id_col)
-        base = base.withColumn("_rk", F.row_number().over(w)).where(
-            F.col("_rk") <= member_cap
-        ).drop("_rk")
-    return (
-        base.groupBy("cluster_id")
-        .agg(
-            F.first("cluster_size").alias("cluster_size"),
-            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_ROLLUP_SALTS))
+        w1 = Window.partitionBy("cluster_id", "_salt").orderBy(id_col)
+        base = (
+            base.withColumn("_salt", salt)
+            .withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= member_cap)
+            .drop("_rk", "_salt")
         )
-        .orderBy(F.desc("cluster_size"), "cluster_id")
+    agg = base.groupBy("cluster_id").agg(
+        F.first("cluster_size").alias("cluster_size"),
+        F.sort_array(F.collect_list(id_col)).alias("member_ids"),
     )
+    if member_cap is not None:
+        agg = agg.withColumn(
+            "member_ids", F.slice("member_ids", 1, member_cap)
+        )
+    return agg.orderBy(F.desc("cluster_size"), "cluster_id")
 
 
 def run_pipeline_clips(df: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:

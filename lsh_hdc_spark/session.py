@@ -59,7 +59,7 @@ def get_spark(
         # appendix); 1 MB shuffle write buffers + 512 KB lz4 blocks cut the
         # syscall count ~32x for a few MB of extra memory per active task
         .config("spark.shuffle.file.buffer", "1m")
-        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.shuffle.localDisk.file.output.buffer", "1m")
         .config("spark.io.compression.lz4.blockSize", "512k")
         # ANSI-on is the Spark 4 default AND a standing requirement: the
         # product must work on sessions it does not own (e.g. the driver
