@@ -112,6 +112,16 @@ def main() -> None:
         "sum(crc32(bytes))", "sum(length(transcript))"
     ).collect()
     spark.catalog.clearCache()
+    # two DISCARDED clips runs: even with a warm page cache the first two
+    # byte-shuffling runs pay one-time costs (shuffle-dir creation, JIT of
+    # the byte-join path, the kernel's dirty-writeback ramp on the virtio
+    # disk) that made round 3's spread 8x — convergence to steady state
+    # takes two passes (measured 19.8 / 6.4 / 6.2 with one warm-up);
+    # steady-state is what the metric claims to measure
+    for _ in range(2):
+        _clips_job()
+        spark.catalog.clearCache()
+        os.sync()
 
     # INTERLEAVED rounds (A/B/C/D, A/B/C/D, ...): this host's throughput
     # drifts up to ~2x over tens of minutes, so back-to-back runs of one
@@ -124,8 +134,10 @@ def main() -> None:
             fn()
             runs.setdefault(name, []).append(round(time.monotonic() - t0, 3))
             # release caches/checkpoints between runs so pinned blocks don't
-            # degrade the next query (fresh-run semantics)
+            # degrade the next query (fresh-run semantics); sync so this
+            # run's dirty writeback doesn't stall the NEXT run's timing
             spark.catalog.clearCache()
+            os.sync()
     medians: dict[str, float] = {}
     for name, _ in jobs:
         queries[name] = min(runs[name])

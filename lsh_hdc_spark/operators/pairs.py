@@ -129,19 +129,25 @@ def verify_pairs(
     ``lsh_hdc/__init__.py::hamming``.
     """
     iid = cfg.id_col
-    side = signed_df.select(
-        F.col(iid),
-        F.array_distinct("shingles_h").alias("sh"),
-        F.col("sketch"),
-    )
+    # sketch rides the two fat array joins only when the Hamming pre-filter
+    # is actually on — with sketch_bits=0 shuffling it is pure waste
+    use_sketch = cfg.sketch_bits > 0
+    side_cols = [F.col(iid), F.array_distinct("shingles_h").alias("sh")]
+    if use_sketch:
+        side_cols.append(F.col("sketch"))
+    side = signed_df.select(*side_cols)
     left = side.select(
-        F.col(iid).alias("src"), F.col("sh").alias("sh_a"), F.col("sketch").alias("sk_a")
+        F.col(iid).alias("src"),
+        F.col("sh").alias("sh_a"),
+        *([F.col("sketch").alias("sk_a")] if use_sketch else []),
     )
     right = side.select(
-        F.col(iid).alias("dst"), F.col("sh").alias("sh_b"), F.col("sketch").alias("sk_b")
+        F.col(iid).alias("dst"),
+        F.col("sh").alias("sh_b"),
+        *([F.col("sketch").alias("sk_b")] if use_sketch else []),
     )
     j = pairs.join(left, "src").join(right, "dst")
-    if cfg.sketch_bits > 0:
+    if use_sketch:
         j = j.where(
             F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= cfg.max_hamming
         )
