@@ -587,6 +587,45 @@ def _q_streaming_attach(spark, sf_dir):
     )
 
 
+def _q_streaming_rebuild(spark, sf_dir):
+    """Streaming compaction hook (rebuild_index): after the three
+    streaming_attach micro-batches accumulate a greedily-labeled index,
+    rebuild re-clusters the ENTIRE signature index with the batch
+    candidate/verify/CC machinery and swaps corrected labels in.  The
+    rebuilt labels must equal a from-scratch batch clustering of the whole
+    corpus — so the oracle is exactly the dedup_clusters CTE (exact-Jaccard
+    pair graph + recursive-CTE CC; LSH recall 1.0 at the parity config).
+    Greedy-attach drift (bridging arrivals) is therefore bounded by the
+    rebuild cadence, and this query value-checks the bound's fixed point."""
+    import shutil
+    import tempfile
+
+    from lsh_hdc_spark.streaming import (
+        StreamIndex,
+        attach_batch,
+        rebuild_index,
+        write_index_epoch,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="stream_rebuild_")
+    index = StreamIndex(f"{base}/sig", f"{base}/labels", f"{base}/keys")
+    try:
+        for k in range(3):
+            b = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == k)
+            _, rows = attach_batch(b, CFG, index)
+            write_index_epoch(rows, index, CFG.id_col, epoch=k)
+        rebuild_index(spark, CFG, index)
+        out = (
+            spark.read.parquet(index.labels_dir)
+            .select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -622,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "ann_cosine": _q_ann_cosine,
         "streaming_attach": _q_streaming_attach,
+        "streaming_rebuild": _q_streaming_rebuild,
         "aul_score": _q_aul_score,
     }
 
@@ -1419,6 +1459,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
         """,
         "streaming_attach": _streaming_attach_oracle_sql(),
+        "streaming_rebuild": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id FROM labs
+        """,
         "aul_score": """
             WITH sizes AS (
               SELECT concat_ws(':', lang, source) AS cl, count(*) AS sz

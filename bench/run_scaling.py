@@ -126,7 +126,6 @@ def main() -> None:
     synth_input(args.n_clips, inp)
 
     results: dict[int, list[dict]] = {}
-    tiers = None
     # INTERLEAVED rounds (N, 4N, N, 4N, ...): this host's throughput drifts
     # up to ~2x over tens of minutes (guest-kernel contention), so running
     # all-N then all-4N would attribute the drift to the core count;
@@ -135,15 +134,20 @@ def main() -> None:
         for cores in (args.base_cores, 4 * args.base_cores):
             results.setdefault(cores, [])
             out = f"/dev/shm/scaling_out_{cores}_{r}"
-            rec = one_run(
-                zpath, cores, inp, out,
-                shuffle=4 * cores,
-                tier_stats=(r == 0 and cores == args.base_cores),
-            )
+            rec = one_run(zpath, cores, inp, out, shuffle=4 * cores, tier_stats=False)
             shutil.rmtree(out, ignore_errors=True)
-            tiers = rec.pop("bucket_tiers", None) or tiers
             results[cores].append(rec)
             print(f"local[{cores}] run {r}: {rec}", flush=True)
+
+    # bucket-tier census (op 25 audit): input-dependent, core-count-
+    # independent — computed OUTSIDE the timed ladder in one full-width
+    # run so it cannot serialize a 1-core timed rung (it did in round 4:
+    # the winnowing census at local[1]/2.4M ran longer than the timed job)
+    out = "/dev/shm/scaling_out_census"
+    tiers = one_run(
+        zpath, os.cpu_count() or 8, inp, out, shuffle=64, tier_stats=True
+    ).get("bucket_tiers")
+    shutil.rmtree(out, ignore_errors=True)
 
     n, n4 = args.base_cores, 4 * args.base_cores
     t_n = statistics.median(r["wall_s"] for r in results[n])
