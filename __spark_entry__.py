@@ -1012,7 +1012,7 @@ local{k} AS (
         )
     return f"""
 WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE},
-batchof AS (SELECT doc_id, doc_id % 3 AS bk FROM documents),
+batchof AS (SELECT doc_id, doc_id % {n_batches} AS bk FROM documents),
 jac AS (
   SELECT src AS xa, dst AS xb, jaccard FROM pairs WHERE jaccard >= {T_PARITY}
   UNION ALL
