@@ -521,6 +521,69 @@ def _q_ann_cosine(spark, sf_dir):
     return ann_topk(_embs(spark, sf_dir), k=5, n_bits=64, bands=32)
 
 
+#: hot-band validation config: pair_cap lowered so a planted 301-copy
+#: bucket lands in the hot_anchor tier (16 < 301 <= drop_cap) while every
+#: organic bucket stays cold/singleton (max organic bucket ~5 at sf0.01)
+HOT_CFG = CFG.with_(pair_cap=16)
+_HOT_COPIES = 300
+_HOT_SRC_DOC = 7
+
+_HOT_AUG_SQL = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {20_000_000} + u.i AS doc_id, d.text
+  FROM documents d, unnest(range(0, {_HOT_COPIES})) AS u(i)
+  WHERE d.doc_id = {_HOT_SRC_DOC}
+)"""
+
+
+def _hot_aug_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") == _HOT_SRC_DOC).select("text")
+    copies = spark.range(_HOT_COPIES).select(
+        (F.col("id") + 20_000_000).alias("doc_id")
+    ).crossJoin(base)
+    return docs.unionByName(copies)
+
+
+def _q_hotband_census(spark, sf_dir):
+    """op 25 tier census, POSITIVE path: the corpus is augmented with 300
+    exact copies of one document, so each of that text's band keys owns a
+    301-member bucket — hot_anchor tier at pair_cap=16 — while organic
+    buckets stay cold/singleton.  The oracle recomputes the band keys from
+    raw text (shingle→minhash→band-fold chain in HUGEINT SQL) and buckets
+    them with the same tier thresholds, so the census — including the
+    engaged hot tier — is value-checked, closing the round-3 note that no
+    harness row could exercise the hot path."""
+    from lsh_hdc_spark.operators.pairs import band_key_rows, bucket_stats
+
+    aug = _hot_aug_docs(spark, sf_dir)
+    st = bucket_stats(band_key_rows(signed(aug, HOT_CFG), HOT_CFG), HOT_CFG)
+    return st.select(
+        "tier",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+    )
+
+
+def _q_dedup_clusters_hotband(spark, sf_dir):
+    """op 25 end-to-end, POSITIVE path: full pipeline over the hot-band
+    corpus at pair_cap=16 — the 301-copy component must survive the salted
+    anchor pairing (members pair with <=anchor_fanout anchors instead of
+    all-pairs; anchors are exact copies, so member→anchor edges carry the
+    same Jaccard as member→original and connectivity is preserved).
+    Oracle: exact-Jaccard CC over the augmented corpus — equality PROVES
+    the tiered policy loses no component at this config."""
+    labels = run_pipeline(_hot_aug_docs(spark, sf_dir), HOT_CFG)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def _q_aul_score(spark, sf_dir):
     """AUL ranking score (op 20, ``lsh_hdc/ranking.py::
     aul_score_from_clusters`` [M] — the reference module is unreadable, so
@@ -663,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attach": _q_streaming_attach,
         "streaming_rebuild": _q_streaming_rebuild,
         "aul_score": _q_aul_score,
+        "hotband_census": _q_hotband_census,
+        "dedup_clusters_hotband": _q_dedup_clusters_hotband,
     }
 
 
@@ -681,16 +746,17 @@ toks AS (
 )
 """
 
-def _shingles_sql(where: str = "") -> str:
+def _shingles_sql(where: str = "", src: str = "documents") -> str:
     """Word 3-gram shingles with the short-doc fallback (span=3,
     unique=true, kmin=1) — mirrors Shingler semantics (SURVEY.md §2.5.1).
-    `where` restricts the source rows (content-filter oracle)."""
+    `where` restricts the source rows (content-filter oracle); `src` picks
+    the source relation (augmented-corpus oracles)."""
     return f"""
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
                      t -> t <> '') AS ts
-  FROM documents {where}
+  FROM {src} {where}
 ),
 sh_idx AS (
   SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
@@ -731,19 +797,23 @@ pairs AS (
 #: planted near-dups (J >= ~0.9, P(candidate) > 0.999) from background pairs
 #: (J ~ 0) with enough margin that LSH recall is 1.0 — asserted continuously
 #: by tests/test_entry.py and the lsh_missed_pairs query.
-_CC_CTE = f"""
+def _cc_cte(src: str = "documents") -> str:
+    return f"""
 edges AS (
   SELECT src, dst FROM pairs WHERE jaccard >= {T_PARITY}
   UNION ALL
   SELECT dst, src FROM pairs WHERE jaccard >= {T_PARITY}
 ),
 reach(id, lab) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM {src}
   UNION
   SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
 ),
 labs AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id)
 """
+
+
+_CC_CTE = _cc_cte()
 
 #: quality composite in integer micro-units (see textstats.quality_micros);
 #: requires {_TOKS} in scope
@@ -836,12 +906,13 @@ _AS_I64 = (
 #: mirroring sign.py::word_shingle_hashes; DISTINCT per doc at the end
 #: (minhash minima and the simhash query's unique mode are both
 #: multiplicity-insensitive here)
-_SHINGLE_H_SQL = f"""
+def _shingle_h_sql(src: str = "documents") -> str:
+    return f"""
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
                      t -> t <> '') AS ts
-  FROM documents
+  FROM {src}
 ),
 tokpos AS MATERIALIZED (
   SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos,
@@ -900,23 +971,63 @@ shingle_h AS MATERIALIZED (
 )"""
 
 
-def _minhash_oracle_sql() -> str:
-    """sig_k = min over shingle hashes of mix64(h ^ mix64(kseed_k)); the
-    12 pre-mixed seeds are the only Python-side inputs."""
+_SHINGLE_H_SQL = _shingle_h_sql()
+
+
+def _sigs_cte(src: str = "documents") -> str:
+    """CTE chain ending in sigs(doc_id, k, su): the unsigned minhash
+    signature recomputed from raw text — sig_k = min over shingle hashes
+    of mix64(h ^ mix64(kseed_k)); the pre-mixed seeds are the only
+    Python-side inputs."""
     pre = mix64(hash_seeds(CFG.width, CFG.seed))
     kt = (
         f"(SELECT unnest(range(0, {CFG.width}))::INT AS k, "
         f"unnest([{','.join(f'{int(x)}::HUGEINT' for x in pre)}]) AS pre)"
     )
-    return f"""
-WITH {_SHINGLE_H_SQL},
+    return f"""{_shingle_h_sql(src)},
 mh0 AS (
   SELECT s.doc_id, kt.k, xor(s.z, kt.pre) AS mx
   FROM shingle_h s CROSS JOIN {kt} kt
 ),{_mix_ctes('mh0', ['doc_id', 'k'], 'mx', 'hv', 'mhm')},
-sigs AS (SELECT doc_id, k, min(hv) AS su FROM mhm GROUP BY doc_id, k)
+sigs AS MATERIALIZED (SELECT doc_id, k, min(hv) AS su FROM mhm GROUP BY doc_id, k)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+WITH {_sigs_cte()}
 SELECT doc_id, k, {_AS_I64.format(v='su')} AS sig_k FROM sigs
 """
+
+
+def _band_keys_cte() -> str:
+    """CTE chain (requires sigs in scope) ending in band_keys(doc_id,
+    bkey): scheme-'a' LSH band keys recomputed in SQL — per band j the
+    fold z = band_seed_j; for each of the r rows z = mix64(z ^ sig), the
+    exact `functions/sign.py::_band_keys` recurrence.  The b band seeds
+    are the only Python-side inputs."""
+    r, b = CFG.bandwidth, CFG.bands
+    bseeds = hash_seeds(b, CFG.seed ^ 0xBA9D5EED)
+    bt = (
+        f"(SELECT unnest(range(0, {b}))::INT AS j, "
+        f"unnest([{','.join(f'{int(x)}::HUGEINT' for x in bseeds)}]) AS bs)"
+    )
+    parts = [
+        f"""
+bk0 AS (
+  SELECT s.doc_id, b.j, xor(b.bs, s.su) AS x
+  FROM sigs s JOIN {bt} b ON s.k = b.j * {r}
+),{_mix_ctes('bk0', ['doc_id', 'j'], 'x', 'z', 'bkm1')}"""
+    ]
+    for t in range(1, r):
+        parts.append(
+            f""",
+bk{t} AS (
+  SELECT m.doc_id, m.j, xor(m.z, s.su) AS x
+  FROM bkm{t} m JOIN sigs s ON s.doc_id = m.doc_id AND s.k = m.j * {r} + {t}
+),{_mix_ctes(f'bk{t}', ['doc_id', 'j'], 'x', 'z', f'bkm{t + 1}')}"""
+        )
+    parts.append(f",\nband_keys AS (SELECT doc_id, z AS bkey FROM bkm{r})")
+    return "".join(parts)
 
 
 def _simhash_oracle_sql() -> str:
@@ -1462,6 +1573,29 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rebuild": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id FROM labs
+        """,
+        "hotband_census": f"""
+            WITH {_HOT_AUG_SQL}, {_sigs_cte('aug')},{_band_keys_cte()},
+            buckets AS (SELECT bkey, count(*) AS sz FROM band_keys GROUP BY 1),
+            tiers AS (
+              SELECT CASE WHEN sz < 2 THEN 'singleton'
+                          WHEN sz <= {HOT_CFG.pair_cap} THEN 'cold'
+                          WHEN sz <= {HOT_CFG.drop_cap} THEN 'hot_anchor'
+                          ELSE 'dropped' END AS tier,
+                     sz
+              FROM buckets
+            )
+            SELECT tier, count(*) AS n_buckets,
+                   CAST(sum(sz) AS BIGINT) AS n_rows,
+                   CAST(max(sz) AS BIGINT) AS max_bucket
+            FROM tiers GROUP BY tier
+        """,
+        "dedup_clusters_hotband": f"""
+            WITH RECURSIVE {_HOT_AUG_SQL}, {_shingles_sql(src='aug')},
+            {_PAIR_CORE}, {_cc_cte('aug')}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
         """,
         "aul_score": """
             WITH sizes AS (
