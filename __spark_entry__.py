@@ -584,6 +584,76 @@ def _q_dedup_clusters_hotband(spark, sf_dir):
     )
 
 
+def _q_minhash_signatures_char(spark, sf_dir):
+    """Char-mode signatures (op 4 char axis + op 5), value-checked
+    bit-for-bit: 5-char shingles over the normalized text, hashed with the
+    same poly+mix64 family and minhashed with the same seeds as word mode.
+    The oracle recomputes the whole chain from raw text in DuckDB HUGEINT
+    arithmetic — the char shingler was previously pytest-only."""
+    s = signed(_docs(spark, sf_dir), CHAR_CFG)
+    return s.select("doc_id", F.posexplode("sig").alias("k", "sig_k"))
+
+
+def _q_dedup_clusters_char(spark, sf_dir):
+    """End-to-end near-dup clustering in CHAR mode (5-gram shingles, same
+    12x(4x3) banding).  Oracle: exact char-gram Jaccard pair graph +
+    recursive-CTE CC — a true oracle at this config because planted
+    near-dup pairs sit at J ~0.9+ in char-5 space (banding candidate
+    probability ~0.995 realized as all-captured on this corpus; any miss
+    would fail this hash check loudly)."""
+    labels = run_pipeline(_docs(spark, sf_dir), CHAR_CFG)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _q_resumable_pipeline(spark, sf_dir):
+    """op 24 (checkpoint/resume + lineage) harness-visible: run the
+    checkpointed flagship pipeline into a scratch catalog, simulate a
+    crash after stage S3 (drop the labels table), and RESUME — the second
+    attempt must serve signed/bucket_stats/pairs/edges from their
+    checkpoint tables (recomputed=false in the lineage metrics) and
+    recompute only labels.  Output: the resumed run's labels (oracle =
+    exact-Jaccard CC, the dedup_clusters argument) plus the per-attempt
+    reuse counters read from the metrics table (oracle pins the spec'd
+    4 reused / 1 recomputed).  The catalog is Parquet-backed offline;
+    production is Iceberg with zero pipeline changes
+    (plans/checkpoints.py)."""
+    import shutil
+    import tempfile
+
+    from lsh_hdc_spark.plans.checkpoints import run_pipeline_resumable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_pipeline_resumable(spark, docs, CFG, base)
+        shutil.rmtree(f"{base}/run0/labels")  # the simulated mid-run crash
+        labels2, r2 = run_pipeline_resumable(spark, docs, CFG, base)
+        out = labels2.localCheckpoint(eager=True)
+        flags = {
+            r["stage"]: r["recomputed"]
+            for r in r2.metrics()
+            .where(F.col("attempt") == r2.attempt)
+            .select("stage", "recomputed")
+            .distinct()
+            .collect()
+        }
+        reused = sum(1 for v in flags.values() if not v)
+        recomputed = sum(1 for v in flags.values() if v)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.lit(reused).cast("long").alias("stages_reused"),
+        F.lit(recomputed).cast("long").alias("stages_recomputed"),
+    )
+
+
 def _q_aul_score(spark, sf_dir):
     """AUL ranking score (op 20, ``lsh_hdc/ranking.py::
     aul_score_from_clusters`` [M] — the reference module is unreadable, so
@@ -728,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aul_score": _q_aul_score,
         "hotband_census": _q_hotband_census,
         "dedup_clusters_hotband": _q_dedup_clusters_hotband,
+        "resumable_pipeline": _q_resumable_pipeline,
+        "minhash_signatures_char": _q_minhash_signatures_char,
+        "dedup_clusters_char": _q_dedup_clusters_char,
     }
 
 
@@ -974,22 +1047,28 @@ shingle_h AS MATERIALIZED (
 _SHINGLE_H_SQL = _shingle_h_sql()
 
 
-def _sigs_cte(src: str = "documents") -> str:
-    """CTE chain ending in sigs(doc_id, k, su): the unsigned minhash
-    signature recomputed from raw text — sig_k = min over shingle hashes
-    of mix64(h ^ mix64(kseed_k)); the pre-mixed seeds are the only
-    Python-side inputs."""
+def _mh_chain() -> str:
+    """CTE chain (requires shingle_h(doc_id, z) in scope) ending in
+    sigs(doc_id, k, su): sig_k = min over shingle hashes of
+    mix64(h ^ mix64(kseed_k)); the pre-mixed seeds are the only
+    Python-side inputs.  Shingle-mode-agnostic — the same chain serves
+    word and char signatures."""
     pre = mix64(hash_seeds(CFG.width, CFG.seed))
     kt = (
         f"(SELECT unnest(range(0, {CFG.width}))::INT AS k, "
         f"unnest([{','.join(f'{int(x)}::HUGEINT' for x in pre)}]) AS pre)"
     )
-    return f"""{_shingle_h_sql(src)},
-mh0 AS (
+    return f"""mh0 AS (
   SELECT s.doc_id, kt.k, xor(s.z, kt.pre) AS mx
   FROM shingle_h s CROSS JOIN {kt} kt
 ),{_mix_ctes('mh0', ['doc_id', 'k'], 'mx', 'hv', 'mhm')},
 sigs AS MATERIALIZED (SELECT doc_id, k, min(hv) AS su FROM mhm GROUP BY doc_id, k)"""
+
+
+def _sigs_cte(src: str = "documents") -> str:
+    """Word-mode shingle hashes + minhash chain ending in sigs."""
+    return f"""{_shingle_h_sql(src)},
+{_mh_chain()}"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -1056,6 +1135,48 @@ FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
 
 def _profile_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+
+
+#: char-mode parity config: 5-char contiguous shingles over the
+#: whitespace-collapsed lowercase text, same signature/banding as word mode
+CHAR_CFG = CFG.with_(shingle_mode="char", span=5)
+
+#: char shingle hashes in SQL: normalize (lower, \s+ -> ' ', trim) ->
+#: distinct 5-char substrings (short-text fallback: the whole string) ->
+#: the same poly+mix64 hash family as word tokens.  Ends in
+#: shingle_h(doc_id, z), so _mh_chain() composes unchanged.
+_CHAR_GRAMS_SQL = rf"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(s, i, {CHAR_CFG.span}) AS g
+  FROM norm, unnest(range(1, length(s) - {CHAR_CFG.span - 2})) AS u(i)
+  WHERE length(s) >= {CHAR_CFG.span}
+  UNION ALL
+  SELECT doc_id, s AS g FROM norm
+  WHERE length(s) BETWEEN 1 AND {CHAR_CFG.span - 1}
+),
+gramchars AS (
+  SELECT g, length(g) AS L, unnest(range(1, length(g) + 1)) AS i
+  FROM (SELECT DISTINCT g FROM grams)
+),
+grampoly AS MATERIALIZED (
+  SELECT g,
+         sum(unicode(g[i])::HUGEINT * ({{pows}})[L - i + 1])
+           % {_U64}::HUGEINT AS pv
+  FROM gramchars GROUP BY g, L
+),{{mix}},
+shingle_h AS MATERIALIZED (
+  SELECT DISTINCT g0.doc_id, h.gh AS z FROM grams g0 JOIN gramh h USING (g)
+)"""
+
+
+def _char_grams_cte() -> str:
+    return _CHAR_GRAMS_SQL.format(
+        pows=_POWS, mix=_mix_ctes("grampoly", ["g"], "pv", "gh", "gramh")
+    )
 
 
 def _streaming_attach_oracle_sql(n_batches: int = 3) -> str:
@@ -1573,6 +1694,27 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rebuild": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id FROM labs
+        """,
+        "minhash_signatures_char": f"""
+            WITH {_char_grams_cte()},
+            {_mh_chain()}
+            SELECT doc_id, k, {_AS_I64.format(v='su')} AS sig_k FROM sigs
+        """,
+        "dedup_clusters_char": f"""
+            WITH RECURSIVE {_char_grams_cte()},
+            shingles AS (SELECT doc_id, g AS shingle FROM grams),
+            {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
+        """,
+        "resumable_pipeline": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   4::BIGINT AS stages_reused,
+                   1::BIGINT AS stages_recomputed
+            FROM labs
         """,
         "hotband_census": f"""
             WITH {_HOT_AUG_SQL}, {_sigs_cte('aug')},{_band_keys_cte()},
