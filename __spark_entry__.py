@@ -609,6 +609,61 @@ def _q_dedup_clusters_char(spark, sf_dir):
     )
 
 
+def _q_frame_sample_stats(spark, sf_dir):
+    """Multimodal frame-sample fan-out (graft-spec media op), value-checked
+    end to end: deterministic payloads (byte j of doc d = (d+j) % 256,
+    length 1000 + d % 3000) run through the REAL ``frame_sample`` operator
+    (Arrow-batched, frames exploded Python-side inside the batch, bytes
+    never shuffled beyond the fan-out) with the offline slicing codec; the
+    harness checks one row per (doc, frame) with exact frame length and
+    byte-sum.  The oracle recomputes both from the closed form — the
+    audio_invariants pattern applied to the video-shaped path, closing the
+    'media fakes are pytest-only' note for the fan-out operator."""
+    import numpy as np
+    import pandas as pd
+
+    from lsh_hdc_spark.functions.media import frame_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_bytes": [
+                        bytes(bytearray((d + j) % 256 for j in range(1000 + d % 3000)))
+                        for d in ids
+                    ],
+                    "dur_ms": [40 + d % 200 for d in ids],
+                }
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, media_bytes binary, dur_ms int")
+    frames = frame_sample(media, every_ms=50)
+
+    def _stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_len": [len(b) for b in pdf["frame_bytes"]],
+                    "frame_sum": [
+                        int(np.frombuffer(b, dtype=np.uint8).sum()) if len(b) else 0
+                        for b in pdf["frame_bytes"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(
+        _stats, "media_id long, frame_idx int, frame_len long, frame_sum long"
+    )
+
+
 def _q_resumable_pipeline(spark, sf_dir):
     """op 24 (checkpoint/resume + lineage) harness-visible: run the
     checkpointed flagship pipeline into a scratch catalog, simulate a
@@ -801,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_pipeline": _q_resumable_pipeline,
         "minhash_signatures_char": _q_minhash_signatures_char,
         "dedup_clusters_char": _q_dedup_clusters_char,
+        "frame_sample_stats": _q_frame_sample_stats,
     }
 
 
@@ -1694,6 +1750,26 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rebuild": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id FROM labs
+        """,
+        "frame_sample_stats": """
+            WITH meta AS (
+              SELECT doc_id AS media_id,
+                     1000 + doc_id % 3000 AS L,
+                     greatest((40 + doc_id % 200) // 50, 1) AS n
+              FROM documents
+            ),
+            st AS (SELECT media_id, L, n, greatest(L // n, 1) AS step FROM meta),
+            frames AS (
+              SELECT media_id, step, unnest(range(0, n))::INT AS frame_idx
+              FROM st
+            )
+            SELECT f.media_id, f.frame_idx,
+                   f.step::BIGINT AS frame_len,
+                   CAST(sum((f.media_id + j) % 256) AS BIGINT) AS frame_sum
+            FROM (SELECT media_id, frame_idx, step,
+                         unnest(range(frame_idx * step, (frame_idx + 1) * step)) AS j
+                  FROM frames) f
+            GROUP BY 1, 2, f.step
         """,
         "minhash_signatures_char": f"""
             WITH {_char_grams_cte()},
