@@ -124,11 +124,15 @@ def main() -> None:
         os.sync()
 
     # INTERLEAVED rounds (A/B/C/D, A/B/C/D, ...): this host's throughput
-    # drifts up to ~2x over tens of minutes, so back-to-back runs of one
-    # query can both land in a slow window (round-2 recorded a 46.5 s
-    # outlier as half a 2-run sample); interleaving spreads the weather
-    # across queries and 3 rounds make a single outlier non-binding.
-    for _ in range(3):
+    # drifts up to ~2x over tens of minutes — round 4 caught the cause in
+    # the act: guest load-average 8-9 with 99% guest-idle and nonzero
+    # vmstat steal time, i.e. the hypervisor giving our cycles to
+    # co-tenant VMs.  Back-to-back runs of one query can land in one slow
+    # window (round-2 recorded a 46.5 s outlier as half a 2-run sample);
+    # interleaving spreads the weather across queries, and 4 rounds
+    # (3 before round 4) make min-of-rounds robust to a multi-minute
+    # steal episode.
+    for _ in range(4):
         for name, fn in jobs:
             t0 = time.monotonic()
             fn()
