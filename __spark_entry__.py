@@ -609,6 +609,47 @@ def _q_dedup_clusters_char(spark, sf_dir):
     )
 
 
+#: simhash end-to-end config: 64-bit Charikar sketch banded as 8 bands x
+#: 8 bits; verify threshold pinned to the word-parity threshold so the
+#: exact-Jaccard oracle is shared with the minhash flagship.  Recall of the
+#: simhash banding at this config is measured 1.0 on both sf corpora
+#: (bandwidth=16 misses ~20% of planted pairs — audited continuously by
+#: simhash_missed_pairs, which fails the gate loudly if recall drops).
+SIM_CFG = CFG.with_(
+    signer="simhash", width=64, bandwidth=8, jaccard_threshold=float(T_PARITY)
+)
+
+
+def _q_simhash_missed_pairs(spark, sf_dir):
+    """Recall audit of the SIMHASH banding (ops 7-9 under signer=simhash):
+    the premise of dedup_clusters_simhash, made harness-visible — the
+    oracle asserts n_missed = 0 (the lsh_missed_pairs pattern)."""
+    df = _docs(spark, sf_dir)
+    exact = exact_jaccard_pairs(df, SIM_CFG, threshold=float(T_PARITY)).select(
+        "src", "dst"
+    )
+    cand = candidate_pairs(signed(df, SIM_CFG), SIM_CFG)
+    missed = exact.join(cand, ["src", "dst"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
+def _q_dedup_clusters_simhash(spark, sf_dir):
+    """End-to-end near-dup clustering under the SIMHASH signer (op 7 as
+    the pipeline's signature stage, not just a sketch): 64-bit sketch, 8x8
+    banding, exact-Jaccard verify at the parity threshold.  Oracle: the
+    same exact-pair recursive-CTE CC as the minhash flagship — valid
+    because the banding's measured recall is 1.0 here (simhash_missed_pairs
+    fails loudly otherwise), and the verify stage makes precision exact."""
+    labels = run_pipeline(_docs(spark, sf_dir), SIM_CFG)
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def _q_frame_sample_stats(spark, sf_dir):
     """Multimodal frame-sample fan-out (graft-spec media op), value-checked
     end to end: deterministic payloads (byte j of doc d = (d+j) % 256,
@@ -857,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_char": _q_minhash_signatures_char,
         "dedup_clusters_char": _q_dedup_clusters_char,
         "frame_sample_stats": _q_frame_sample_stats,
+        "simhash_missed_pairs": _q_simhash_missed_pairs,
+        "dedup_clusters_simhash": _q_dedup_clusters_simhash,
     }
 
 
@@ -1750,6 +1793,17 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rebuild": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id FROM labs
+        """,
+        "simhash_missed_pairs": f"""
+            WITH {_SHINGLES}, {_PAIR_CORE}
+            SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_missed
+            FROM pairs WHERE jaccard >= {T_PARITY}
+        """,
+        "dedup_clusters_simhash": f"""
+            WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM labs
         """,
         "frame_sample_stats": """
             WITH meta AS (
