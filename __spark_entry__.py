@@ -584,6 +584,15 @@ def _q_dedup_clusters_hotband(spark, sf_dir):
     )
 
 
+def _q_shingles_skipgram(spark, sf_dir):
+    """Skip-gram shingling (op 4 skip axis): span=3 word shingles at
+    skip=1 — window reach (span-1)*(skip+1)+1 = 5 tokens, members at
+    stride 2; short docs (< reach tokens) fall back to the whole-doc
+    shingle (kmin=1).  Mirrors sign.py::shingles_of; previously the skip
+    axis was pytest-only."""
+    return shingle_rows(_docs(spark, sf_dir), CFG.with_(skip=1))
+
+
 def _q_minhash_signatures_char(spark, sf_dir):
     """Char-mode signatures (op 4 char axis + op 5), value-checked
     bit-for-bit: 5-char shingles over the normalized text, hashed with the
@@ -900,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_stats": _q_frame_sample_stats,
         "simhash_missed_pairs": _q_simhash_missed_pairs,
         "dedup_clusters_simhash": _q_dedup_clusters_simhash,
+        "shingles_skipgram": _q_shingles_skipgram,
     }
 
 
@@ -1793,6 +1803,22 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rebuild": f"""
             WITH RECURSIVE {_SHINGLES}, {_PAIR_CORE}, {_CC_CTE}
             SELECT doc_id, cluster_id FROM labs
+        """,
+        "shingles_skipgram": f"""
+            WITH {_TOKS},
+            sh_idx AS (
+              SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i
+              FROM toks WHERE len(ts) >= 5
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id,
+                     concat_ws(' ', ts[i], ts[i + 2], ts[i + 4]) AS shingle
+              FROM sh_idx
+              UNION ALL
+              SELECT doc_id, array_to_string(ts, ' ') AS shingle
+              FROM toks WHERE len(ts) BETWEEN 1 AND 4
+            )
+            SELECT doc_id, shingle FROM shingles
         """,
         "simhash_missed_pairs": f"""
             WITH {_SHINGLES}, {_PAIR_CORE}
