@@ -522,11 +522,15 @@ def _q_ann_cosine(spark, sf_dir):
 
 
 #: hot-band validation config: pair_cap lowered so a planted 301-copy
-#: bucket lands in the hot_anchor tier (16 < 301 <= drop_cap) while every
-#: organic bucket stays cold/singleton (max organic bucket ~5 at sf0.01)
-HOT_CFG = CFG.with_(pair_cap=16)
+#: bucket lands in the hot_anchor tier (16 < 301 <= 600) while every
+#: organic bucket stays cold/singleton (max organic bucket ~5 at sf0.01);
+#: drop_cap lowered so a second planted 801-copy bucket (census-only
+#: corpus) lands in the `dropped` tier — all four tiers value-checked
+HOT_CFG = CFG.with_(pair_cap=16, drop_cap=600)
 _HOT_COPIES = 300
 _HOT_SRC_DOC = 7
+_DROP_COPIES = 800
+_DROP_SRC_DOC = 11
 
 _HOT_AUG_SQL = f"""
 aug AS (
@@ -537,28 +541,54 @@ aug AS (
   WHERE d.doc_id = {_HOT_SRC_DOC}
 )"""
 
+#: census-only corpus: the hot_anchor block PLUS an over-drop_cap block.
+#: Used by hotband_census alone — dedup_clusters_hotband keeps the
+#: drop-free corpus so its exact-Jaccard-CC oracle stays a true equality
+#: (a dropped band deliberately loses edges; that loss is the census's
+#: job to surface, not the cluster query's to hide).
+_HOT_AUG_DROP_SQL = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {20_000_000} + u.i AS doc_id, d.text
+  FROM documents d, unnest(range(0, {_HOT_COPIES})) AS u(i)
+  WHERE d.doc_id = {_HOT_SRC_DOC}
+  UNION ALL
+  SELECT {30_000_000} + u.i AS doc_id, d.text
+  FROM documents d, unnest(range(0, {_DROP_COPIES})) AS u(i)
+  WHERE d.doc_id = {_DROP_SRC_DOC}
+)"""
 
-def _hot_aug_docs(spark, sf_dir):
+
+def _hot_aug_docs(spark, sf_dir, with_dropped=False):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.where(F.col("doc_id") == _HOT_SRC_DOC).select("text")
     copies = spark.range(_HOT_COPIES).select(
         (F.col("id") + 20_000_000).alias("doc_id")
     ).crossJoin(base)
-    return docs.unionByName(copies)
+    out = docs.unionByName(copies)
+    if with_dropped:
+        dbase = docs.where(F.col("doc_id") == _DROP_SRC_DOC).select("text")
+        dcopies = spark.range(_DROP_COPIES).select(
+            (F.col("id") + 30_000_000).alias("doc_id")
+        ).crossJoin(dbase)
+        out = out.unionByName(dcopies)
+    return out
 
 
 def _q_hotband_census(spark, sf_dir):
-    """op 25 tier census, POSITIVE path: the corpus is augmented with 300
-    exact copies of one document, so each of that text's band keys owns a
-    301-member bucket — hot_anchor tier at pair_cap=16 — while organic
-    buckets stay cold/singleton.  The oracle recomputes the band keys from
-    raw text (shingle→minhash→band-fold chain in HUGEINT SQL) and buckets
+    """op 25 tier census, ALL FOUR tiers engaged (VERDICT r4 item 2): the
+    corpus is augmented with 300 exact copies of one document (301-member
+    buckets -> hot_anchor at pair_cap=16) AND 800 exact copies of another
+    (801-member buckets -> dropped at drop_cap=600), while organic buckets
+    stay cold/singleton.  The oracle recomputes the band keys from raw
+    text (shingle→minhash→band-fold chain in HUGEINT SQL) and buckets
     them with the same tier thresholds, so the census — including the
-    engaged hot tier — is value-checked, closing the round-3 note that no
-    harness row could exercise the hot path."""
+    drop-with-metric accounting that silently loses recall if it
+    mis-fires — is value-checked, not just pytest-checked."""
     from lsh_hdc_spark.operators.pairs import band_key_rows, bucket_stats
 
-    aug = _hot_aug_docs(spark, sf_dir)
+    aug = _hot_aug_docs(spark, sf_dir, with_dropped=True)
     st = bucket_stats(band_key_rows(signed(aug, HOT_CFG), HOT_CFG), HOT_CFG)
     return st.select(
         "tier",
@@ -1873,7 +1903,7 @@ def oracle_sql() -> dict[str, str]:
             FROM labs
         """,
         "hotband_census": f"""
-            WITH {_HOT_AUG_SQL}, {_sigs_cte('aug')},{_band_keys_cte()},
+            WITH {_HOT_AUG_DROP_SQL}, {_sigs_cte('aug')},{_band_keys_cte()},
             buckets AS (SELECT bkey, count(*) AS sz FROM band_keys GROUP BY 1),
             tiers AS (
               SELECT CASE WHEN sz < 2 THEN 'singleton'

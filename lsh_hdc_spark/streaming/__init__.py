@@ -4,6 +4,7 @@ from .ingest import (
     rebuild_index,
     run_attach_stream,
     seed_index,
+    start_attach_stream,
     write_index_epoch,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "rebuild_index",
     "run_attach_stream",
     "seed_index",
+    "start_attach_stream",
     "write_index_epoch",
 ]

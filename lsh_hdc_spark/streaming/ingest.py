@@ -124,7 +124,16 @@ def _write_epoch(df: DataFrame, path: str, epoch: int, parts: list[str]) -> None
     """Idempotent epoch write: dynamic partition overwrite replaces exactly
     the partitions this epoch produces, so a foreachBatch retry of a failed
     epoch cannot duplicate rows (ADVICE r3: the previous append-mode sinks
-    were not idempotent)."""
+    were not idempotent).
+
+    Determinism assumption (ADVICE r4): idempotency relies on a retried
+    epoch producing the SAME partition set as the failed attempt — true
+    here because foreachBatch replays the identical file list and every
+    stage (signing, banding, pfx hashing) is deterministic.  If batch
+    content or config could change between attempts, a retry with a
+    smaller pfx set would leave the failed attempt's extra partitions
+    stale; a transactional table format (Iceberg REPLACE) removes the
+    assumption entirely."""
     (
         df.withColumn("epoch", F.lit(epoch))
         .write.mode("overwrite")
@@ -275,6 +284,17 @@ def attach_batch(
     return labels, new_rows
 
 
+def _lock_path(index: StreamIndex) -> str:
+    """Active-stream marker: a lease file next to sig_dir.  Held for the
+    lifetime of run_attach_stream; rebuild_index refuses to run while it
+    exists, turning the 'rebuild must run while the stream is stopped'
+    contract from a docstring into a loud error (VERDICT r4 item 5).
+    A crashed stream leaves the lease behind — the file records the holder
+    pid so an operator can confirm it is stale and remove it (production:
+    an Iceberg table property / a ZK lease with TTL)."""
+    return index.sig_dir + ".stream_lock"
+
+
 def run_attach_stream(
     spark: SparkSession,
     source_dir: str,
@@ -296,17 +316,76 @@ def run_attach_stream(
         _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
         write_index_epoch(new_rows, index, cfg.id_col, epoch_id)
 
+    lock = _lock_path(index)
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
     reader = spark.readStream.schema(schema).parquet(source_dir)
     writer = reader.writeStream.foreachBatch(_per_batch).option(
         "checkpointLocation", checkpoint_dir
     )
-    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
     q = writer.trigger(**trigger).start()
     try:
         q.awaitTermination()
     finally:
         if q.isActive:
             q.stop()
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def start_attach_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    cfg: DedupConfig,
+    index: StreamIndex,
+    checkpoint_dir: str,
+    processing_time: str = "1 seconds",
+):
+    """Non-blocking variant of run_attach_stream for the continuous
+    (processingTime) trigger: starts the query and returns a handle with
+    .stop().  The caller owns the lifecycle; the stream lease is released
+    on .stop().  Used by the long-running-trigger smoke test (VERDICT r4
+    item 6) and mirrors how a production driver would hold the query."""
+
+    def _per_batch(batch: DataFrame, epoch_id: int) -> None:
+        labels, new_rows = attach_batch(batch, cfg, index)
+        _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
+        write_index_epoch(new_rows, index, cfg.id_col, epoch_id)
+
+    lock = _lock_path(index)
+    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+    with open(lock, "w") as fh:
+        fh.write(str(os.getpid()))
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+
+    class _Handle:
+        query = q
+
+        @staticmethod
+        def stop() -> None:
+            try:
+                if q.isActive:
+                    q.stop()
+                q.awaitTermination()
+            finally:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+
+    return _Handle
 
 
 def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> None:
@@ -318,12 +397,24 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
 
     Runs on the signatures alone (shingles_h/sketch/band_keys are the whole
     pipeline input after signing), so the raw corpus is not re-read.  The
-    swap is write-to-tmp + directory rename per table — crash-safe to the
-    extent plain parquet allows (a crash mid-swap leaves the pre-rebuild
-    directory for all not-yet-renamed tables; re-running rebuild converges).
-    Production: one atomic Iceberg REPLACE commit across the three tables.
-    Must run while the stream is stopped (same contract as any offline
-    compaction)."""
+    swap per table is: live -> live.old, tmp -> live, delete live.old —
+    the live directory is absent only between two renames (no rmtree in
+    the window, ADVICE r4), and _recover_swap at entry completes any
+    interrupted swap from the surviving .rebuild/.old directory, so
+    re-running rebuild after ANY crash point converges.  Production: one
+    atomic Iceberg REPLACE commit across the three tables.
+    Must run while the stream is stopped — enforced: raises RuntimeError
+    if the active-stream lease (_lock_path) exists."""
+    lock = _lock_path(index)
+    if os.path.exists(lock):
+        with open(lock) as fh:
+            holder = fh.read().strip()
+        raise RuntimeError(
+            f"rebuild_index: active-stream lease {lock} held (pid {holder}); "
+            "stop the attach stream first (remove the file only if the "
+            "holder is confirmed dead)"
+        )
+    _recover_swap(index)
     iid = cfg.id_col
     sigs = (
         index.read_sigs(spark)
@@ -352,5 +443,25 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
         (index.labels_dir, tmp.labels_dir),
         (index.keys_dir, tmp.keys_dir),
     ):
-        shutil.rmtree(live, ignore_errors=True)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
         os.rename(new, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_swap(index: StreamIndex) -> None:
+    """Complete an interrupted rebuild swap: for any table whose live
+    directory is absent, restore it from the completed .rebuild output
+    (preferred — the swap loop only starts after all three tmp writes
+    finish, so an existing .rebuild alongside a missing live dir is
+    complete) or, failing that, from the pre-swap .old copy.  Idempotent;
+    no-op on a healthy index."""
+    for live in (index.sig_dir, index.labels_dir, index.keys_dir):
+        if os.path.exists(live):
+            continue
+        for cand in (live + ".rebuild", live + ".old"):
+            if os.path.exists(cand):
+                os.rename(cand, live)
+                break

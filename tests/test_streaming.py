@@ -228,3 +228,145 @@ def test_stream_resume_skips_committed_files(spark, index, tmpdirs):
     assert out2[1].cluster_id == 1  # transitive: 21 -> 20 -> cluster 1
     # distinct epochs prove the second run processed only the new file
     assert len({r.epoch for r in out2}) == 2
+
+
+def test_rebuild_refuses_while_stream_active(spark, index):
+    """The 'rebuild must run while the stream is stopped' contract is a
+    loud error, not a docstring (VERDICT r4 item 5): an active-stream
+    lease file makes rebuild_index raise instead of silently corrupting a
+    live index."""
+    from lsh_hdc_spark.streaming.ingest import _lock_path
+
+    _seed(spark, index)
+    with open(_lock_path(index), "w") as fh:
+        fh.write("12345")
+    try:
+        with pytest.raises(RuntimeError, match="active-stream lease"):
+            rebuild_index(spark, CFG, index)
+    finally:
+        os.remove(_lock_path(index))
+    # with the lease gone the same call proceeds
+    rebuild_index(spark, CFG, index)
+    assert spark.read.parquet(index.labels_dir).count() == 3
+
+
+def test_stream_holds_and_releases_lease(spark, index, tmpdirs):
+    """run_attach_stream writes the lease for its lifetime and removes it
+    on exit (including the drain path), so a follow-up rebuild is legal."""
+    from lsh_hdc_spark.streaming.ingest import _lock_path
+
+    _seed(spark, index)
+    f1 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog near the river bank")],
+        SCHEMA,
+    )
+    f1.coalesce(1).write.mode("overwrite").parquet(tmpdirs["src"] + "/d1")
+    run_attach_stream(
+        spark, tmpdirs["src"] + "/d1", SCHEMA, CFG, index, tmpdirs["ckpt"]
+    )
+    assert not os.path.exists(_lock_path(index))
+    rebuild_index(spark, CFG, index)  # no lease -> allowed
+
+
+def test_rebuild_recovers_interrupted_swap(spark, index):
+    """Crash-window fix (ADVICE r4, medium): simulate a crash between the
+    two renames of the labels-table swap — live dir absent, completed
+    .rebuild present.  A re-run of rebuild_index must first restore the
+    live dir (_recover_swap) and then converge; previously the rmtree-
+    before-rename order made read_sigs fail unrecoverably."""
+    from lsh_hdc_spark.streaming.ingest import _recover_swap
+
+    _seed(spark, index)
+    before = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    # simulate the mid-swap crash for ONE table: live -> .old done, the
+    # completed rebuild output still sitting at .rebuild
+    os.rename(index.labels_dir, index.labels_dir + ".old")
+    shutil.copytree(index.labels_dir + ".old", index.labels_dir + ".rebuild")
+    assert not os.path.exists(index.labels_dir)
+
+    rebuild_index(spark, CFG, index)  # must not raise at read time
+    after = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert after == before
+    # recovery + swap left no stray directories behind
+    assert not os.path.exists(index.labels_dir + ".old")
+    assert not os.path.exists(index.labels_dir + ".rebuild")
+    # idempotence of the recovery helper on a healthy index
+    _recover_swap(index)
+    assert spark.read.parquet(index.labels_dir).count() == 3
+
+
+def test_processing_time_trigger_smoke(spark, index, tmpdirs):
+    """Long-running-trigger branch (VERDICT r4 item 6): start the attach
+    stream under trigger(processingTime=...), feed two files while it is
+    live, await both epochs, stop.  Exercises the non-availableNow path
+    end-to-end including lease acquisition/release."""
+    import time
+
+    from lsh_hdc_spark.streaming.ingest import _lock_path, start_attach_stream
+
+    _seed(spark, index)
+
+    def _drop_file(df, name):
+        tmp = tmpdirs["src"] + "/_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for part in os.listdir(tmp):
+            if part.endswith(".parquet"):
+                shutil.move(f"{tmp}/{part}", f"{tmpdirs['src']}/{name}")
+        shutil.rmtree(tmp)
+
+    def _streamed_ids():
+        try:
+            return {
+                r.doc_id
+                for r in spark.read.parquet(index.labels_dir)
+                .where(F.col("epoch") >= 0)
+                .collect()
+            }
+        except Exception:
+            return set()
+
+    _drop_file(
+        spark.createDataFrame(
+            [(20, "the quick brown fox jumps over the lazy dog near the river bank")],
+            SCHEMA,
+        ),
+        "a.parquet",
+    )
+    h = start_attach_stream(
+        spark, tmpdirs["src"], SCHEMA, CFG, index, tmpdirs["ckpt"],
+        processing_time="1 seconds",
+    )
+    try:
+        assert os.path.exists(_lock_path(index))  # lease held while live
+        deadline = time.monotonic() + 25
+        while time.monotonic() < deadline and 20 not in _streamed_ids():
+            time.sleep(0.5)
+        assert 20 in _streamed_ids()
+        # second file arrives while the trigger is LIVE (the availableNow
+        # tests can never cover this)
+        _drop_file(
+            spark.createDataFrame(
+                [(21, "the quick brown fox jumps over the lazy dog near the river bank")],
+                SCHEMA,
+            ),
+            "b.parquet",
+        )
+        while time.monotonic() < deadline and 21 not in _streamed_ids():
+            time.sleep(0.5)
+        assert _streamed_ids() == {20, 21}
+    finally:
+        h.stop()
+    assert not os.path.exists(_lock_path(index))  # lease released on stop
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir)
+        .where(F.col("epoch") >= 0)
+        .collect()
+    }
+    assert labels == {20: 1, 21: 1}  # both attached to the seeded cluster
