@@ -23,10 +23,40 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 N_CLIPS = int(os.environ.get("BENCH_CLIPS", "20000"))
+
+#: a timed run is steal-contaminated above this (VERDICT r4 item 1): the
+#: hypervisor episodes caught in round 4 showed up as multi-percent steal
+#: while the quiet-host floor is ~0.01%, so 1% separates them cleanly
+STEAL_PCT_MAX = 1.0
+#: extra interleaved make-up rounds allowed when a query lacks clean runs
+MAX_EXTRA_ROUNDS = 2
+
+
+def _cpu_ticks() -> list[int]:
+    """First /proc/stat cpu line: user nice system idle iowait irq softirq
+    steal (ticks since boot)."""
+    with open("/proc/stat") as fh:
+        v = fh.readline().split()[1:]
+    return list(map(int, v[:8]))
+
+
+def _timed(fn) -> tuple[float, float, float]:
+    """Run fn and return (secs, steal_pct, sy_pct) measured over exactly
+    the run window, so an outlier carries its measured cause (hypervisor
+    CPU steal / guest-kernel time) instead of an inference."""
+    a = _cpu_ticks()
+    t0 = time.monotonic()
+    fn()
+    secs = time.monotonic() - t0
+    b = _cpu_ticks()
+    d = [y - x for x, y in zip(a, b)]
+    tot = max(sum(d), 1)
+    return round(secs, 3), round(100 * d[7] / tot, 3), round(100 * d[2] / tot, 2)
 
 
 def main() -> None:
@@ -132,21 +162,63 @@ def main() -> None:
     # interleaving spreads the weather across queries, and 4 rounds
     # (3 before round 4) make min-of-rounds robust to a multi-minute
     # steal episode.
-    for _ in range(4):
+    # Each run is annotated with the steal%/sy% measured over its own
+    # window (VERDICT r4 item 1: make the protocol steal-aware).  Runs
+    # with steal >= STEAL_PCT_MAX are KEPT in the trace but excluded from
+    # the reported min/median; if a query ends up with < 2 clean runs,
+    # up to MAX_EXTRA_ROUNDS make-up rounds re-run the affected queries.
+    steal: dict[str, list[float]] = {}
+    sy: dict[str, list[float]] = {}
+
+    def _one_round(names: set[str] | None = None) -> None:
         for name, fn in jobs:
-            t0 = time.monotonic()
-            fn()
-            runs.setdefault(name, []).append(round(time.monotonic() - t0, 3))
+            if names is not None and name not in names:
+                continue
+            secs, st, s = _timed(fn)
+            runs.setdefault(name, []).append(secs)
+            steal.setdefault(name, []).append(st)
+            sy.setdefault(name, []).append(s)
             # release caches/checkpoints between runs so pinned blocks don't
             # degrade the next query (fresh-run semantics); sync so this
             # run's dirty writeback doesn't stall the NEXT run's timing
             spark.catalog.clearCache()
             os.sync()
+
+    # one DISCARDED full interleaved round first: measured on this host,
+    # the first timed pass of EVERY query is systematically the slowest
+    # (JIT depth, shuffle-path ramp, writeback churn from the synth/warm-up
+    # phase) — e.g. clips 14.5 s first vs 6.3-9.3 s after, substring 9.8 s
+    # vs 5.2-6.2 s, with steal ~0 throughout, so it is process ramp rather
+    # than host weather.  Discarding round 0 for all queries is a
+    # pre-registered symmetric rule, not post-hoc outlier pruning.
+    _one_round()
+    for name in list(runs):
+        runs[name].clear()
+        steal[name].clear()
+        sy[name].clear()
+    for _ in range(4):
+        _one_round()
+
+    def _clean(name: str) -> list[float]:
+        return [
+            r
+            for r, st in zip(runs[name], steal[name])
+            if st < STEAL_PCT_MAX
+        ]
+
+    for _ in range(MAX_EXTRA_ROUNDS):
+        lacking = {name for name, _ in jobs if len(_clean(name)) < 2}
+        if not lacking:
+            break
+        _one_round(lacking)
+
     medians: dict[str, float] = {}
+    kept: dict[str, int] = {}
     for name, _ in jobs:
-        queries[name] = min(runs[name])
-        rs = sorted(runs[name])
-        medians[name] = rs[len(rs) // 2]
+        rs = _clean(name) or runs[name]  # all-contaminated: fall back, annotated
+        kept[name] = len(_clean(name))
+        queries[name] = min(rs)
+        medians[name] = round(statistics.median(rs), 3)
 
     total = round(sum(queries.values()), 3)
     clips_per_sec = round(N_CLIPS / queries["q_dedup_clips"], 1)
@@ -162,6 +234,10 @@ def main() -> None:
                 "n_clips": N_CLIPS,
                 "clips_per_sec": clips_per_sec,
                 "runs": runs,
+                "runs_steal_pct": steal,
+                "runs_sy_pct": sy,
+                "steal_threshold_pct": STEAL_PCT_MAX,
+                "clean_runs_kept": kept,
                 "queries_median": medians,
             }
         )
