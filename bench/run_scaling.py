@@ -75,6 +75,16 @@ def synth_input(n_clips: int, path: str) -> None:
     spark.stop()
 
 
+def _cpu_ticks() -> list[int]:
+    """First /proc/stat cpu line: user nice system idle iowait irq softirq
+    steal — sampled around each timed run so every rung carries measured
+    us/sy/steal columns (VERDICT r4 item 4) instead of a separate vmstat
+    trace needing manual classification."""
+    with open("/proc/stat") as fh:
+        v = fh.readline().split()[1:]
+    return list(map(int, v[:8]))
+
+
 def one_run(
     zpath: str, cores: int, inp: str, out: str, shuffle: int, tier_stats: bool
 ) -> dict:
@@ -94,11 +104,19 @@ def one_run(
     ]
     if tier_stats:
         cmd.append("--tier-stats")
+    t0 = _cpu_ticks()
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    t1 = _cpu_ticks()
     line = [l for l in res.stdout.splitlines() if l.startswith("{")]
     if not line:
         raise RuntimeError(f"run failed:\n{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
-    return json.loads(line[-1])
+    rec = json.loads(line[-1])
+    d = [b - a for a, b in zip(t0, t1)]
+    tot = max(sum(d), 1)
+    rec["us_pct"] = round(100 * (d[0] + d[1]) / tot, 1)
+    rec["sy_pct"] = round(100 * d[2] / tot, 1)
+    rec["steal_pct"] = round(100 * d[7] / tot, 2)
+    return rec
 
 
 def main() -> None:
@@ -114,6 +132,11 @@ def main() -> None:
     ap.add_argument("--n-clips", type=int, default=2_400_000)
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--base-cores", type=int, default=1)
+    # BASELINE.md is the HEADLINE (1 vs 4) document plus hand-curated
+    # appendices; secondary rungs print their table row instead of
+    # clobbering it
+    ap.add_argument("--write-md", action="store_true",
+                    help="rewrite BENCH/BASELINE.md (headline rung only)")
     args = ap.parse_args()
 
     zpath = make_zip()
@@ -143,11 +166,13 @@ def main() -> None:
     # independent — computed OUTSIDE the timed ladder in one full-width
     # run so it cannot serialize a 1-core timed rung (it did in round 4:
     # the winnowing census at local[1]/2.4M ran longer than the timed job)
-    out = "/dev/shm/scaling_out_census"
-    tiers = one_run(
-        zpath, os.cpu_count() or 8, inp, out, shuffle=64, tier_stats=True
-    ).get("bucket_tiers")
-    shutil.rmtree(out, ignore_errors=True)
+    tiers = None
+    if args.write_md:  # census feeds the md only; skip on secondary rungs
+        out = "/dev/shm/scaling_out_census"
+        tiers = one_run(
+            zpath, os.cpu_count() or 8, inp, out, shuffle=64, tier_stats=True
+        ).get("bucket_tiers")
+        shutil.rmtree(out, ignore_errors=True)
 
     n, n4 = args.base_cores, 4 * args.base_cores
     t_n = statistics.median(r["wall_s"] for r in results[n])
@@ -295,11 +320,32 @@ exist there.
   are Parquet-backed behind CatalogIO (no Iceberg jar offline) — see
   README.
 """
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print(md)
-    print(json.dumps({"efficiency": round(eff, 3), "t_n": t_n, "t_4n": t_4n}))
+    if args.write_md:
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+        print(md)
+    summary = {
+        "efficiency": round(eff, 3),
+        "t_n": t_n,
+        "t_4n": t_4n,
+        "per_round_eff": [
+            round((a["wall_s"] / b["wall_s"]) / 4, 3)
+            for a, b in zip(results[n], results[n4])
+        ],
+        "rung_cpu": {
+            str(c): {
+                "med_us_pct": statistics.median(r["us_pct"] for r in results[c]),
+                "med_sy_pct": statistics.median(r["sy_pct"] for r in results[c]),
+                "med_steal_pct": statistics.median(
+                    r["steal_pct"] for r in results[c]
+                ),
+                "max_steal_pct": max(r["steal_pct"] for r in results[c]),
+            }
+            for c in results
+        },
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
