@@ -145,3 +145,37 @@ def test_cluster_rollup_megacluster_parallel_cap(spark):
     assert len(rows) == 1
     assert rows[0].cluster_size == n
     assert list(rows[0].member_ids) == list(range(100))
+
+
+def test_clips_bytes_cross_exactly_one_scan(spark, tmp_path):
+    """PLANS.md §3 enforced by a test, not just a doc: in the clips flow
+    the binary payload column is read by exactly ONE parquet scan (the
+    final label join) and the dedup-side scans are pruned to
+    (clip_id, transcript) — a plan where bytes ride the shingle/band/
+    verify shuffles would be a 100-TB scale killer."""
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.plans.pipeline import run_pipeline_clips
+    from lsh_hdc_spark.sources.clips import synth_clips
+
+    path = str(tmp_path / "clips")
+    synth_clips(spark, 50, seed=7).write.mode("overwrite").parquet(path)
+    out = run_pipeline_clips(spark.read.parquet(path), CLIPS)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    schemas = [
+        ln.split("ReadSchema:", 1)[1].strip()
+        for ln in plan.splitlines()
+        if "ReadSchema:" in ln
+    ]
+    assert schemas, plan
+    byte_scans = [s for s in schemas if "bytes:binary" in s]
+    assert len(byte_scans) == 1, plan
+    # every other scan is pruned — no payload columns (bytes/sr_hz/
+    # dur_ms/codec) leak into the compute path
+    for s in schemas:
+        if "bytes:binary" in s:
+            continue
+        assert "sr_hz" not in s and "codec" not in s, s
+    rows = out.count()
+    assert rows == 50
