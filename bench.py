@@ -45,10 +45,11 @@ def _cpu_ticks() -> list[int]:
     return list(map(int, v[:8]))
 
 
-def _timed(fn) -> tuple[float, float, float]:
-    """Run fn and return (secs, steal_pct, sy_pct) measured over exactly
-    the run window, so an outlier carries its measured cause (hypervisor
-    CPU steal / guest-kernel time) instead of an inference."""
+def _timed(fn) -> tuple[float, float, float, float]:
+    """Run fn and return (secs, steal_pct, sy_pct, iowait_pct) measured
+    over exactly the run window, so an outlier carries its measured cause
+    (hypervisor CPU steal / guest-kernel time / disk-stall iowait)
+    instead of an inference."""
     a = _cpu_ticks()
     t0 = time.monotonic()
     fn()
@@ -56,7 +57,12 @@ def _timed(fn) -> tuple[float, float, float]:
     b = _cpu_ticks()
     d = [y - x for x, y in zip(a, b)]
     tot = max(sum(d), 1)
-    return round(secs, 3), round(100 * d[7] / tot, 3), round(100 * d[2] / tot, 2)
+    return (
+        round(secs, 3),
+        round(100 * d[7] / tot, 3),
+        round(100 * d[2] / tot, 2),
+        round(100 * d[4] / tot, 2),
+    )
 
 
 def main() -> None:
@@ -169,15 +175,17 @@ def main() -> None:
     # up to MAX_EXTRA_ROUNDS make-up rounds re-run the affected queries.
     steal: dict[str, list[float]] = {}
     sy: dict[str, list[float]] = {}
+    wa: dict[str, list[float]] = {}
 
     def _one_round(names: set[str] | None = None) -> None:
         for name, fn in jobs:
             if names is not None and name not in names:
                 continue
-            secs, st, s = _timed(fn)
+            secs, st, s, w = _timed(fn)
             runs.setdefault(name, []).append(secs)
             steal.setdefault(name, []).append(st)
             sy.setdefault(name, []).append(s)
+            wa.setdefault(name, []).append(w)
             # release caches/checkpoints between runs so pinned blocks don't
             # degrade the next query (fresh-run semantics); sync so this
             # run's dirty writeback doesn't stall the NEXT run's timing
@@ -196,6 +204,7 @@ def main() -> None:
         runs[name].clear()
         steal[name].clear()
         sy[name].clear()
+        wa[name].clear()
     for _ in range(4):
         _one_round()
 
@@ -236,6 +245,7 @@ def main() -> None:
                 "runs": runs,
                 "runs_steal_pct": steal,
                 "runs_sy_pct": sy,
+                "runs_wa_pct": wa,
                 "steal_threshold_pct": STEAL_PCT_MAX,
                 "clean_runs_kept": kept,
                 "queries_median": medians,
