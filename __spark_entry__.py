@@ -977,6 +977,34 @@ def _q_streaming_rebuild(spark, sf_dir):
     return out
 
 
+#: corpus size for the audio-axis dedup query — fixed (independent of sf):
+#: the clips are synthesized, not read from testdata, and 1200 rows keep
+#: the FFT+SNR passes fast at harness time.  n_family_rows = 840 below
+#: follows sources/clips.py: (int(1200*0.7) // 4) * 4.
+_AUDIO_DEDUP_N = 1200
+
+
+def _q_audio_dedup_clusters(spark, sf_dir):
+    """Audio-axis near-dup clustering (operators/audio_dedup.py): spectral
+    occupancy fingerprint over the DECODED PCM -> bucket pairs -> SNR>=30dB
+    verify -> CC.  The corpus is synth_clips' planted family structure
+    (FAMILY_SIZE=4 originals + -40 dB-noise copies, 30% singletons), whose
+    ground-truth clusters are pure id arithmetic — so the oracle recomputes
+    the EXPECTED clusters and a hash match certifies that the audio
+    pipeline's dup-pair recall AND precision are exactly 1.0 on this
+    corpus (the north rule's recall>=0.99 criterion, audio side)."""
+    from lsh_hdc_spark.operators.audio_dedup import audio_dedup_clusters
+    from lsh_hdc_spark.sources.clips import synth_clips
+
+    clips = synth_clips(spark, _AUDIO_DEDUP_N, seed=42)
+    out = audio_dedup_clusters(clips)
+    return out.select(
+        "clip_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -1025,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_missed_pairs": _q_simhash_missed_pairs,
         "dedup_clusters_simhash": _q_dedup_clusters_simhash,
         "shingles_skipgram": _q_shingles_skipgram,
+        "audio_dedup_clusters": _q_audio_dedup_clusters,
     }
 
 
@@ -2095,5 +2124,17 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cos_raw DESC, neighbor_id) AS rank
             FROM sims
             QUALIFY rank <= 5
+        """,
+        # ground truth by construction (sources/clips.py): rows < 840 form
+        # 4-member families rooted at (i//4)*4; the rest are singletons.
+        # Matching this certifies audio-axis recall AND precision = 1.0.
+        "audio_dedup_clusters": f"""
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d',
+                          CASE WHEN i < 840 THEN (i // 4) * 4 ELSE i END)
+                       AS cluster_id,
+                   CAST(CASE WHEN i < 840 THEN 4 ELSE 1 END AS BIGINT)
+                       AS cluster_size
+            FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
         """,
     }
