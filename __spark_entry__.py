@@ -1005,6 +1005,54 @@ def _q_audio_dedup_clusters(spark, sf_dir):
     )
 
 
+def _fused_corpus(spark):
+    """synth_clips with planted cross-modal divergence so the fusion query
+    is non-vacuous (each modality must rescue pairs the other misses):
+
+    - every 5th family's duplicate members (idx%4 != 0) get a transcript
+      of 4 member-unique tokens -> ZERO text edges inside those families;
+      only the audio fingerprint holds them together;
+    - the first two singletons of every block of 10 (idx>=840,
+      (idx-840)%10 < 2) get identical pair-unique transcripts -> a
+      Jaccard-1 text edge between two clips whose AUDIO is unrelated.
+    """
+    from lsh_hdc_spark.sources.clips import synth_clips
+
+    clips = synth_clips(spark, _AUDIO_DEDUP_N, seed=42)
+    idx = F.substring("clip_id", 5, 8).cast("long")
+    div = (idx < 840) & (F.floor(idx / 4) % 5 == 0) & (idx % 4 != 0)
+    pair = (idx >= 840) & ((idx - 840) % 10 < 2)
+    j = F.floor((idx - 840) / 10).cast("string")
+    uniq = lambda p: F.concat_ws(  # noqa: E731
+        " ", *[F.concat(F.lit(f"{p}{c}x"), idx.cast("string")) for c in "abcd"]
+    )
+    paired = F.concat_ws(
+        " ", *[F.concat(F.lit(f"p{c}x"), j) for c in "abcd"]
+    )
+    return clips.withColumn(
+        "transcript",
+        F.when(div, uniq("d")).when(pair, paired).otherwise(F.col("transcript")),
+    )
+
+
+def _q_dedup_clusters_fused(spark, sf_dir):
+    """Cross-modal OR-fusion (operators/audio_dedup.py::
+    fused_dedup_clusters): transcript-LSH edges UNION audio-fingerprint
+    edges -> one CC.  The corpus plants both divergence directions
+    (_fused_corpus), so a hash match against the arithmetic ground truth
+    proves each modality rescued exactly the pairs the other lost —
+    text-only would split the divergent families, audio-only would miss
+    the re-voiced transcript pairs."""
+    from lsh_hdc_spark.operators.audio_dedup import fused_dedup_clusters
+
+    out = fused_dedup_clusters(_fused_corpus(spark))
+    return out.select(
+        "clip_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -1054,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_simhash": _q_dedup_clusters_simhash,
         "shingles_skipgram": _q_shingles_skipgram,
         "audio_dedup_clusters": _q_audio_dedup_clusters,
+        "dedup_clusters_fused": _q_dedup_clusters_fused,
     }
 
 
@@ -2136,5 +2185,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i < 840 THEN 4 ELSE 1 END AS BIGINT)
                        AS cluster_size
             FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+        """,
+        # fused ground truth: audio holds every family together (including
+        # the planted text-divergent ones); text welds the planted
+        # identical-transcript singleton pairs (first two of each block of
+        # 10 past the family range).
+        "dedup_clusters_fused": f"""
+            WITH lab AS (
+              SELECT i,
+                     CASE WHEN i < 840 THEN (i // 4) * 4
+                          WHEN (i - 840) % 10 < 2
+                               THEN 840 + ((i - 840) // 10) * 10
+                          ELSE i END AS root,
+                     CASE WHEN i < 840 THEN 4
+                          WHEN (i - 840) % 10 < 2 THEN 2
+                          ELSE 1 END AS sz
+              FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+            )
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d', root) AS cluster_id,
+                   CAST(sz AS BIGINT) AS cluster_size
+            FROM lab
         """,
     }

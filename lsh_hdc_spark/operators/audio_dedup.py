@@ -249,6 +249,51 @@ def audio_verify_pairs(
     return j.mapInPandas(_snr, "src string, dst string, snr_db double")
 
 
+def audio_dedup_edges(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    min_snr_db: float = 30.0,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """(src, dst, snr_db) verified audio near-dup edges — the audio-axis
+    twin of plans.pipeline.dedup_edges."""
+    fps = audio_fingerprints(clips, id_col).localCheckpoint(eager=True)
+    pairs = audio_candidate_pairs(fps, id_col, bucket_cap)
+    return audio_verify_pairs(clips, pairs, id_col, min_snr_db)
+
+
+def fused_dedup_clusters(
+    clips: DataFrame,
+    cfg=None,
+    min_snr_db: float = 30.0,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Cross-modal OR-fusion: a pair is a duplicate if the TRANSCRIPT
+    pipeline (shingle/MinHash/LSH/Jaccard) verifies it OR the AUDIO
+    pipeline (spectral fingerprint + SNR) does; one shared CC over the
+    union edge set labels clusters — the same OR-merge shape the text
+    pipeline uses for substring edges (plans/pipeline.py).
+
+    This catches what either modality alone misses: re-voiced clips with
+    identical transcripts (text edge, no audio edge) and re-transcribed /
+    mis-transcribed clips with identical audio (audio edge, no text
+    edge).  Both union sides shuffle (src, dst) ids only."""
+    from ..config import CLIPS
+    from ..plans.pipeline import _edges_with_persisted
+
+    cfg = cfg or CLIPS
+    text_edges, s = _edges_with_persisted(clips, cfg)
+    audio_edges = audio_dedup_edges(clips, cfg.id_col, min_snr_db, bucket_cap)
+    edges = (
+        text_edges.select("src", "dst")
+        .unionByName(audio_edges.select("src", "dst"))
+        .distinct()
+    )
+    labels = assign_clusters(clips.select(cfg.id_col), edges, cfg.id_col)
+    s.unpersist()
+    return labels
+
+
 def audio_dedup_clusters(
     clips: DataFrame,
     id_col: str = "clip_id",

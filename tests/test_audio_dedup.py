@@ -172,3 +172,69 @@ def test_plan_bytes_cross_exactly_two_scans(spark, tmp_path):
     ]
     assert all("bytes" not in s for s in schemas), plan
     assert out.count() == 40
+
+
+def _divergent_corpus(spark, n=100):
+    """Small twin of the harness _fused_corpus: every 5th family's dup
+    members get member-unique transcripts (no text edges); the first two
+    singletons of each block of 10 share a pair-unique transcript."""
+    nf = (int(n * 0.7) // 4) * 4
+    clips = synth_clips(spark, n, seed=42)
+    idx = F.substring("clip_id", 5, 8).cast("long")
+    div = (idx < nf) & (F.floor(idx / 4) % 5 == 0) & (idx % 4 != 0)
+    pair = (idx >= nf) & ((idx - nf) % 10 < 2)
+    j = F.floor((idx - nf) / 10).cast("string")
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"d{c}x"), idx.cast("string")) for c in "abcd"]
+    )
+    paired = F.concat_ws(" ", *[F.concat(F.lit(f"p{c}x"), j) for c in "abcd"])
+    return (
+        clips.withColumn(
+            "transcript",
+            F.when(div, uniq).when(pair, paired).otherwise(F.col("transcript")),
+        ),
+        nf,
+    )
+
+
+def test_fused_dedup_rescues_both_modalities(spark):
+    """OR-fusion ground truth; and each single modality demonstrably
+    FAILS on the planted divergence, so the fusion is non-vacuous."""
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.operators.audio_dedup import fused_dedup_clusters
+    from lsh_hdc_spark.plans.pipeline import run_pipeline
+
+    n = 100
+    clips, nf = _divergent_corpus(spark, n)
+
+    def expected(i):
+        if i < nf:
+            return (i // 4) * 4, 4
+        if (i - nf) % 10 < 2:
+            return nf + ((i - nf) // 10) * 10, 2
+        return i, 1
+
+    got = {
+        r.clip_id: (r.cluster_id, r.cluster_size)
+        for r in fused_dedup_clusters(clips).collect()
+    }
+    for i in range(n):
+        root, sz = expected(i)
+        assert got[f"clip{i:08d}"] == (f"clip{root:08d}", sz), i
+
+    # text-only: the divergent families (fam % 5 == 0) must SPLIT
+    text = {
+        r.clip_id: r.cluster_id for r in run_pipeline(clips, CLIPS).collect()
+    }
+    assert text["clip00000001"] != text["clip00000000"]
+    # audio-only: the welded singleton pair must stay apart
+    audio = {r.clip_id: r.cluster_id for r in audio_dedup_clusters(clips).collect()}
+    a, b = f"clip{nf:08d}", f"clip{nf + 1:08d}"
+    assert audio[a] != audio[b]
+    # ...and each single modality still agrees with fusion everywhere the
+    # planted divergence is absent
+    for i in range(n):
+        if i < nf and (i // 4) % 5 != 0:
+            root, _ = expected(i)
+            assert text[f"clip{i:08d}"] == f"clip{root:08d}"
+            assert audio[f"clip{i:08d}"] == f"clip{root:08d}"
