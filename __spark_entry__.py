@@ -1053,6 +1053,76 @@ def _q_dedup_clusters_fused(spark, sf_dir):
     )
 
 
+def _audio_stream_index(spark, n_batches: int = 3):
+    """Feed synth_clips(_AUDIO_DEDUP_N) through `n_batches` sequential
+    audio micro-batches (split by id mod n_batches) into a scratch
+    streaming index; returns (index, base_tmpdir)."""
+    import tempfile
+
+    from lsh_hdc_spark.sources.clips import synth_clips
+    from lsh_hdc_spark.streaming import attach_audio_batch, write_audio_epoch
+    from lsh_hdc_spark.streaming.ingest import StreamIndex, _write_epoch
+
+    clips = synth_clips(spark, _AUDIO_DEDUP_N, seed=42)
+    idx_expr = F.substring("clip_id", 5, 8).cast("long")
+    base = tempfile.mkdtemp(prefix="stream_audio_")
+    index = StreamIndex(f"{base}/sig", f"{base}/labels", f"{base}/keys")
+    for k in range(n_batches):
+        b = clips.where(F.pmod(idx_expr, F.lit(n_batches)) == k)
+        labels, rows = attach_audio_batch(b, index)
+        _write_epoch(labels, index.labels_dir, k, ["epoch"])
+        write_audio_epoch(rows, index, "clip_id", k)
+    return index, base
+
+
+def _q_streaming_attach_audio(spark, sf_dir):
+    """Incremental AUDIO-axis dedup (streaming/audio_ingest.py): three
+    sequential micro-batches attach by spectral-fingerprint bucket keys and
+    stored-profile verify against the sketch-only index (bytes never enter
+    the index).  Greedy-adopt semantics make the final labels pure id
+    arithmetic on synth_clips' family structure: every family (4
+    consecutive ids) has a batch-0 (id%3==0) member, whose minimum becomes
+    the in-batch CC label that all later arrivals adopt; singletons label
+    themselves.  A hash match certifies recall AND precision 1.0 for the
+    streaming audio path, batch-split-invariantly."""
+    import shutil
+
+    index, base = _audio_stream_index(spark)
+    try:
+        out = (
+            spark.read.parquet(index.labels_dir)
+            .select("clip_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _q_streaming_rebuild_audio(spark, sf_dir):
+    """Audio-axis compaction (streaming/audio_ingest.py::
+    rebuild_audio_index): after the three greedy micro-batches, rebuild
+    re-runs bucket -> spectral-verify -> CC over the ACCUMULATED sketches
+    (audio bytes are never re-read) and swaps canonical labels in — the
+    oracle is the from-scratch family ground truth ((i//4)*4 roots), i.e.
+    rebuild must erase the greedy labeling's batch-order artifacts."""
+    import shutil
+
+    from lsh_hdc_spark.streaming import rebuild_audio_index
+
+    index, base = _audio_stream_index(spark)
+    try:
+        rebuild_audio_index(spark, index)
+        out = (
+            spark.read.parquet(index.labels_dir)
+            .select("clip_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -1103,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingles_skipgram": _q_shingles_skipgram,
         "audio_dedup_clusters": _q_audio_dedup_clusters,
         "dedup_clusters_fused": _q_dedup_clusters_fused,
+        "streaming_attach_audio": _q_streaming_attach_audio,
+        "streaming_rebuild_audio": _q_streaming_rebuild_audio,
     }
 
 
@@ -2206,5 +2278,25 @@ def oracle_sql() -> dict[str, str]:
                    printf('clip%08d', root) AS cluster_id,
                    CAST(sz AS BIGINT) AS cluster_size
             FROM lab
+        """,
+        # greedy streaming-audio ground truth: each family's root is its
+        # first batch-0 (i % 3 == 0) member — 4 consecutive ids always
+        # contain one; singletons (i >= 840) label themselves.
+        "streaming_attach_audio": f"""
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d',
+                          CASE WHEN i < 840
+                               THEN (i // 4) * 4 + ((3 - ((i // 4) * 4) % 3) % 3)
+                               ELSE i END) AS cluster_id
+            FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+        """,
+        # post-rebuild ground truth: canonical from-scratch clustering —
+        # family min member, batch-order artifacts erased.
+        "streaming_rebuild_audio": f"""
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d',
+                          CASE WHEN i < 840 THEN (i // 4) * 4 ELSE i END)
+                       AS cluster_id
+            FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
         """,
     }

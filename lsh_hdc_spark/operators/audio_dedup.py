@@ -110,6 +110,67 @@ def _mask_keys(pcm: np.ndarray, sr_hz: int) -> np.ndarray:
         return mix64(masks ^ k)
 
 
+#: spectral-profile resolution for the streaming index's compact acoustic
+#: sketch (audio_signatures).  128 bins of the power spectrum: fine enough
+#: that unrelated tone mixtures are far apart (measured min relative-L1
+#: distance 0.597 on the synth corpus) while -40 dB additive-noise
+#: duplicates stay close (measured max 0.0018 over all 210 families).
+SPEC_BINS = 128
+
+
+def _spec_profile(pcm: np.ndarray) -> np.ndarray:
+    """SPEC_BINS equal-width power-spectrum band energies — the compact
+    verify surrogate the streaming audio index stores INSTEAD of PCM bytes
+    (streaming/audio_ingest.py).  Same binning scheme as _band_energies at
+    4x the resolution; DC dropped so silence maps to all-zero."""
+    spec = np.abs(np.fft.rfft(pcm.astype(np.float64))) ** 2
+    spec = spec[1:]
+    if spec.size < SPEC_BINS:
+        spec = np.pad(spec, (0, SPEC_BINS - spec.size))
+    edges = np.linspace(0, spec.size, SPEC_BINS + 1).astype(np.int64)
+    return np.add.reduceat(spec, edges[:-1])
+
+
+def audio_signatures(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """(id, keys: array<long>, spec: array<double>, n_samples: long) — one
+    row per clip: the multi-probe bucket keys (_mask_keys) plus the
+    SPEC_BINS-bin spectral profile, in ONE Arrow pass over the byte column.
+
+    This is the audio twin of functions/sign.py::signed for the streaming
+    path: everything the incremental index needs to match and verify future
+    arrivals, with the payload bytes left behind (the index stores ~1 KB of
+    sketch per clip, never audio).  Derived from lsh_hdc/sign.py [M]-level
+    semantics the same way the text signatures are."""
+
+    def _sig(batches):
+        for pdf in batches:
+            ids, keys, specs, nsamp = [], [], [], []
+            for cid, data, sr, codec in zip(
+                pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+            ):
+                if data is None or len(data) == 0:
+                    continue
+                pcm, _ = decode_clip(bytes(data), str(codec))
+                if pcm.size == 0:
+                    continue
+                ids.append(cid)
+                keys.append(as_i64(_mask_keys(pcm, int(sr))))
+                specs.append(_spec_profile(pcm))
+                nsamp.append(pcm.size)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "keys": keys,
+                    "spec": specs,
+                    "n_samples": np.asarray(nsamp, dtype=np.int64),
+                }
+            )
+
+    return clips.select(id_col, "bytes", "sr_hz", "codec").mapInPandas(
+        _sig, f"{id_col} string, keys array<long>, spec array<double>, n_samples long"
+    )
+
+
 def audio_fingerprints(
     clips: DataFrame, id_col: str = "clip_id"
 ) -> DataFrame:

@@ -388,6 +388,20 @@ def start_attach_stream(
     return _Handle
 
 
+def _require_stream_stopped(index: StreamIndex) -> None:
+    """Raise if the active-stream lease is held (VERDICT r4 item 5):
+    rebuilds must never run concurrently with an attach stream."""
+    lock = _lock_path(index)
+    if os.path.exists(lock):
+        with open(lock) as fh:
+            holder = fh.read().strip()
+        raise RuntimeError(
+            f"rebuild: active-stream lease {lock} held (pid {holder}); "
+            "stop the attach stream first (remove the file only if the "
+            "holder is confirmed dead)"
+        )
+
+
 def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> None:
     """Offline compaction: re-cluster the ENTIRE accumulated signature index
     with the batch candidate/verify/CC machinery and swap corrected labels
@@ -405,15 +419,7 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
     atomic Iceberg REPLACE commit across the three tables.
     Must run while the stream is stopped — enforced: raises RuntimeError
     if the active-stream lease (_lock_path) exists."""
-    lock = _lock_path(index)
-    if os.path.exists(lock):
-        with open(lock) as fh:
-            holder = fh.read().strip()
-        raise RuntimeError(
-            f"rebuild_index: active-stream lease {lock} held (pid {holder}); "
-            "stop the attach stream first (remove the file only if the "
-            "holder is confirmed dead)"
-        )
+    _require_stream_stopped(index)
     _recover_swap(index)
     iid = cfg.id_col
     sigs = (
@@ -429,6 +435,14 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
         iid, "shingles_h", "sketch", "band_keys", "cluster_id"
     ).localCheckpoint(eager=True)
 
+    tmp = _rebuild_tmp(index)
+    write_index_epoch(rows, tmp, iid, SEED_EPOCH)
+    _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
+    _swap_index(index, tmp)
+
+
+def _rebuild_tmp(index: StreamIndex) -> StreamIndex:
+    """The .rebuild staging triple for an index, wiped clean."""
     tmp = StreamIndex(
         index.sig_dir + ".rebuild",
         index.labels_dir + ".rebuild",
@@ -436,8 +450,14 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
     )
     for d in (tmp.sig_dir, tmp.labels_dir, tmp.keys_dir):
         shutil.rmtree(d, ignore_errors=True)
-    write_index_epoch(rows, tmp, iid, SEED_EPOCH)
-    _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
+    return tmp
+
+
+def _swap_index(index: StreamIndex, tmp: StreamIndex) -> None:
+    """Crash-safe three-table swap: live -> live.old, tmp -> live, delete
+    .old — the live directory is absent only between two renames, and
+    _recover_swap completes any interrupted swap (ADVICE r4).  Shared by
+    the text and audio rebuilds."""
     for live, new in (
         (index.sig_dir, tmp.sig_dir),
         (index.labels_dir, tmp.labels_dir),
