@@ -173,6 +173,36 @@ def test_run_audio_attach_stream_drains(spark, index, tmp_path):
     assert not os.path.exists(_lock_path(index))  # lease released
 
 
+def test_audio_index_match_plan_shape(spark, index):
+    """Scale shape of the audio attach join (mirrors the text path's
+    test_index_match_plan_shape): the key-index scan is PRUNED to the
+    batch's pfx partitions and carries no array columns; the profile table
+    is scanned exactly once, reading only (id, spec, n_samples) — the
+    stored keys stay unread."""
+    from lsh_hdc_spark.operators.audio_dedup import audio_signatures
+    from lsh_hdc_spark.streaming.audio_ingest import SPEC_TOL, _best_audio_match
+
+    _attach_mod3(spark, index, n=24)
+    batch = synth_clips(spark, 4, seed=7)
+    sigs = audio_signatures(batch, "clip_id").localCheckpoint(eager=True)
+    best = _best_audio_match(sigs, index, "clip_id", SPEC_TOL)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        best._jdf.queryExecution(), "formatted"
+    )
+
+    keys_scans = [
+        b for b in plan.split("\n\n") if "keys" in b and "Scan parquet" in b
+    ]
+    assert keys_scans, plan
+    assert any("pfx" in b and "PartitionFilters" in b for b in keys_scans), plan
+    assert all("spec" not in b for b in keys_scans), plan
+    sig_scans = [
+        b for b in plan.split("\n\n") if "Scan parquet" in b and "spec" in b
+    ]
+    assert len(sig_scans) == 1, plan
+    assert "keys" not in sig_scans[0].split("ReadSchema")[-1], sig_scans[0]
+
+
 def test_audio_rebuild_refuses_while_stream_active(spark, index):
     _attach_mod3(spark, index, n=24)
     lock = _lock_path(index)
