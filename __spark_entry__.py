@@ -1123,6 +1123,85 @@ def _q_streaming_rebuild_audio(spark, sf_dir):
     return out
 
 
+def _fused_stream_index(spark, n_batches: int = 3):
+    """Feed _fused_corpus through `n_batches` sequential CROSS-MODAL
+    micro-batches (split by id mod n_batches) into a scratch fused index;
+    returns (index, base_tmpdir)."""
+    import tempfile
+
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.streaming import (
+        FusedStreamIndex,
+        attach_fused_batch,
+        write_fused_epoch,
+    )
+    from lsh_hdc_spark.streaming.ingest import _write_epoch
+
+    clips = _fused_corpus(spark)
+    idx_expr = F.substring("clip_id", 5, 8).cast("long")
+    base = tempfile.mkdtemp(prefix="stream_fused_")
+    index = FusedStreamIndex.at(base)
+    for k in range(n_batches):
+        b = clips.where(F.pmod(idx_expr, F.lit(n_batches)) == k)
+        labels, t_rows, a_rows = attach_fused_batch(b, CLIPS, index)
+        _write_epoch(labels, index.labels_dir, k, ["epoch"])
+        write_fused_epoch(t_rows, a_rows, index, CLIPS.id_col, k)
+    return index, base
+
+
+def _q_streaming_attach_fused(spark, sf_dir):
+    """Cross-modal incremental dedup (streaming/fused.py): three sequential
+    micro-batches attach to ONE shared label space through BOTH the
+    transcript index (stored shingles, Jaccard) and the audio index
+    (stored spectral profiles, relative-L1) over the divergence-planted
+    _fused_corpus.  Text-divergent families can only attach through audio;
+    the identical-transcript singleton pairs can only attach through text
+    — and pair members NEVER share a batch (their ids differ by 1 mod 3),
+    so the text rescue is necessarily index-mediated, not in-batch.  The
+    greedy ground truth is pure id arithmetic: families root at their
+    first batch-0 member; each planted pair roots at whichever member
+    arrives first.  A hash match certifies both modal rescue directions
+    at attach time."""
+    import shutil
+
+    index, base = _fused_stream_index(spark)
+    try:
+        out = (
+            spark.read.parquet(index.labels_dir)
+            .select("clip_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _q_streaming_rebuild_fused(spark, sf_dir):
+    """Cross-modal compaction (streaming/fused.py::rebuild_fused_index):
+    after the three greedy micro-batches, rebuild re-clusters the
+    accumulated text signatures + audio sketches over the UNION edge set
+    (no payload re-read) and swaps canonical labels into all five tables —
+    the oracle is the from-scratch fused ground truth (family (i//4)*4
+    roots, pair-min roots), i.e. rebuild must erase every batch-order
+    artifact of the greedy labeling."""
+    import shutil
+
+    from lsh_hdc_spark.config import CLIPS
+    from lsh_hdc_spark.streaming import rebuild_fused_index
+
+    index, base = _fused_stream_index(spark)
+    try:
+        rebuild_fused_index(spark, CLIPS, index)
+        out = (
+            spark.read.parquet(index.labels_dir)
+            .select("clip_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_clusters": _q_dedup_clusters,
@@ -1175,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_fused": _q_dedup_clusters_fused,
         "streaming_attach_audio": _q_streaming_attach_audio,
         "streaming_rebuild_audio": _q_streaming_rebuild_audio,
+        "streaming_attach_fused": _q_streaming_attach_fused,
+        "streaming_rebuild_fused": _q_streaming_rebuild_fused,
     }
 
 
@@ -2298,5 +2379,42 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN i < 840 THEN (i // 4) * 4 ELSE i END)
                        AS cluster_id
             FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+        """,
+        # greedy cross-modal ground truth on _fused_corpus, mod-3 batches:
+        # families root at their first batch-0 (i % 3 == 0) member (audio
+        # holds the text-divergent ones together); each planted singleton
+        # pair (p = 840 + 10j, p+1) roots at whichever member arrives
+        # first — p unless j % 3 == 2, where p ≡ 2 (mod 3) lands in the
+        # last batch and p+1 ≡ 0 opens the cluster.
+        "streaming_attach_fused": f"""
+            WITH lab AS (
+              SELECT i,
+                     CASE WHEN i < 840
+                          THEN (i // 4) * 4 + ((3 - ((i // 4) * 4) % 3) % 3)
+                          WHEN (i - 840) % 10 < 2
+                          THEN 840 + ((i - 840) // 10) * 10
+                               + (CASE WHEN (((i - 840) // 10) % 3) = 2
+                                       THEN 1 ELSE 0 END)
+                          ELSE i END AS root
+              FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+            )
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d', root) AS cluster_id
+            FROM lab
+        """,
+        # post-rebuild: canonical fused clustering — family min member,
+        # pair min member; arrival order erased.
+        "streaming_rebuild_fused": f"""
+            WITH lab AS (
+              SELECT i,
+                     CASE WHEN i < 840 THEN (i // 4) * 4
+                          WHEN (i - 840) % 10 < 2
+                               THEN 840 + ((i - 840) // 10) * 10
+                          ELSE i END AS root
+              FROM (SELECT range AS i FROM range({_AUDIO_DEDUP_N}))
+            )
+            SELECT printf('clip%08d', i) AS clip_id,
+                   printf('clip%08d', root) AS cluster_id
+            FROM lab
         """,
     }

@@ -262,6 +262,40 @@ def run_audio_attach_stream(
             pass
 
 
+def audio_sketch_edges(
+    sigs: DataFrame,
+    id_col: str = "clip_id",
+    bucket_cap: int = BUCKET_CAP,
+    spec_tol: float = SPEC_TOL,
+) -> DataFrame:
+    """(src, dst) duplicate edges over an acoustic-signature frame
+    (id, keys, spec, n_samples) WITHOUT touching audio bytes: bucket pairs
+    from the stored keys, spectral-distance verify on the stored profiles.
+    Used by the rebuilds (audio and fused) — pass a MATERIALIZED `sigs` so
+    the signature source is not re-scanned per self-join side."""
+    fps = sigs.select(id_col, F.explode("keys").alias("key"))
+    pairs = audio_candidate_pairs(fps, id_col, bucket_cap)
+    side_a = sigs.select(
+        F.col(id_col).alias("src"),
+        F.col("spec").alias("_sa"),
+        F.col("n_samples").alias("_na"),
+    )
+    side_b = sigs.select(
+        F.col(id_col).alias("dst"),
+        F.col("spec").alias("_sb"),
+        F.col("n_samples").alias("_nb"),
+    )
+    return (
+        pairs.join(side_a, "src")
+        .join(side_b, "dst")
+        .where(
+            (F.col("_na") == F.col("_nb"))
+            & (_spec_distance(F.col("_sa"), F.col("_sb")) <= F.lit(spec_tol))
+        )
+        .select("src", "dst")
+    )
+
+
 def rebuild_audio_index(
     spark: SparkSession,
     index: StreamIndex,
@@ -285,27 +319,7 @@ def rebuild_audio_index(
         .select(id_col, "keys", "spec", "n_samples")
         .localCheckpoint(eager=True)
     )
-    fps = sigs.select(id_col, F.explode("keys").alias("key"))
-    pairs = audio_candidate_pairs(fps, id_col, bucket_cap)
-    side_a = sigs.select(
-        F.col(id_col).alias("src"),
-        F.col("spec").alias("_sa"),
-        F.col("n_samples").alias("_na"),
-    )
-    side_b = sigs.select(
-        F.col(id_col).alias("dst"),
-        F.col("spec").alias("_sb"),
-        F.col("n_samples").alias("_nb"),
-    )
-    edges = (
-        pairs.join(side_a, "src")
-        .join(side_b, "dst")
-        .where(
-            (F.col("_na") == F.col("_nb"))
-            & (_spec_distance(F.col("_sa"), F.col("_sb")) <= F.lit(spec_tol))
-        )
-        .select("src", "dst")
-    )
+    edges = audio_sketch_edges(sigs, id_col, bucket_cap, spec_tol)
     labels = (
         assign_clusters(sigs.select(id_col), edges, id_col)
         .select(id_col, "cluster_id")
