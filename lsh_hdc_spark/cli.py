@@ -12,6 +12,13 @@ Subcommands:
   dedup       run the pipeline, write the labeled output table
   invariants  verify transcript-equality + PCM SNR >= 30 dB between a
               source table and a pipeline output table
+  attach      run the incremental streaming attach over a parquet file
+              stream (--mode text|audio|fused; default drains with
+              availableNow, --continuous keeps a processingTime trigger)
+  rebuild     offline compaction of a streaming index (--mode
+              text|audio|fused): re-cluster the accumulated signatures /
+              sketches and swap corrected labels in (refuses while the
+              attach stream's lease is held)
 """
 
 from __future__ import annotations
@@ -90,6 +97,68 @@ def cmd_invariants(args) -> None:
     print(json.dumps({"violations": invariant_violations(inv), "rows": inv.count()}))
 
 
+def _stream_index(mode: str, base: str):
+    from lsh_hdc_spark.streaming import FusedStreamIndex, StreamIndex
+
+    if mode == "fused":
+        return FusedStreamIndex.at(base)
+    return StreamIndex(f"{base}/sig", f"{base}/labels", f"{base}/keys")
+
+
+def cmd_attach(args) -> None:
+    from lsh_hdc_spark.config import DedupConfig
+    from lsh_hdc_spark.streaming import (
+        run_attach_stream,
+        run_audio_attach_stream,
+        run_fused_attach_stream,
+    )
+
+    spark = _session(args.shuffle_partitions)
+    cfg = DedupConfig(id_col=args.id_col, text_col=args.text_col)
+    schema = spark.read.parquet(args.source).schema
+    index = _stream_index(args.mode, args.index)
+    t0 = time.monotonic()
+    if args.mode == "text":
+        run_attach_stream(
+            spark, args.source, schema, cfg, index, args.checkpoint,
+            available_now=not args.continuous,
+        )
+    elif args.mode == "audio":
+        run_audio_attach_stream(
+            spark, args.source, schema, index, args.checkpoint,
+            id_col=args.id_col, available_now=not args.continuous,
+        )
+    else:
+        run_fused_attach_stream(
+            spark, args.source, schema, cfg, index, args.checkpoint,
+            available_now=not args.continuous,
+        )
+    n = spark.read.parquet(index.labels_dir).count()
+    print(json.dumps({"labeled_rows": n, "wall_s": round(time.monotonic() - t0, 2)}))
+
+
+def cmd_rebuild(args) -> None:
+    from lsh_hdc_spark.config import DedupConfig
+    from lsh_hdc_spark.streaming import (
+        rebuild_audio_index,
+        rebuild_fused_index,
+        rebuild_index,
+    )
+
+    spark = _session(args.shuffle_partitions)
+    index = _stream_index(args.mode, args.index)
+    cfg = DedupConfig(id_col=args.id_col, text_col=args.text_col)
+    t0 = time.monotonic()
+    if args.mode == "text":
+        rebuild_index(spark, cfg, index)
+    elif args.mode == "audio":
+        rebuild_audio_index(spark, index, id_col=args.id_col)
+    else:
+        rebuild_fused_index(spark, cfg, index)
+    n = spark.read.parquet(index.labels_dir).count()
+    print(json.dumps({"labeled_rows": n, "wall_s": round(time.monotonic() - t0, 2)}))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="lsh_hdc_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -117,6 +186,25 @@ def main(argv=None) -> None:
     i.add_argument("--id-col", default="clip_id")
     i.add_argument("--shuffle-partitions", type=int, default=None)
     i.set_defaults(fn=cmd_invariants)
+
+    a = sub.add_parser("attach")
+    a.add_argument("--mode", choices=["text", "audio", "fused"], default="fused")
+    a.add_argument("--source", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--checkpoint", required=True)
+    a.add_argument("--id-col", default="clip_id")
+    a.add_argument("--text-col", default="transcript")
+    a.add_argument("--continuous", action="store_true")
+    a.add_argument("--shuffle-partitions", type=int, default=None)
+    a.set_defaults(fn=cmd_attach)
+
+    r = sub.add_parser("rebuild")
+    r.add_argument("--mode", choices=["text", "audio", "fused"], default="fused")
+    r.add_argument("--index", required=True)
+    r.add_argument("--id-col", default="clip_id")
+    r.add_argument("--text-col", default="transcript")
+    r.add_argument("--shuffle-partitions", type=int, default=None)
+    r.set_defaults(fn=cmd_rebuild)
 
     args = ap.parse_args(argv)
     args.fn(args)
