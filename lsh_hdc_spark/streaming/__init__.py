@@ -3,6 +3,7 @@ from .audio_ingest import (
     audio_sketch_edges,
     rebuild_audio_index,
     run_audio_attach_stream,
+    seed_audio_index,
     write_audio_epoch,
 )
 from .fused import (
@@ -10,6 +11,7 @@ from .fused import (
     attach_fused_batch,
     rebuild_fused_index,
     run_fused_attach_stream,
+    seed_fused_index,
     write_fused_epoch,
 )
 from .ingest import (
@@ -35,6 +37,8 @@ __all__ = [
     "run_attach_stream",
     "run_audio_attach_stream",
     "run_fused_attach_stream",
+    "seed_audio_index",
+    "seed_fused_index",
     "seed_index",
     "start_attach_stream",
     "write_audio_epoch",

@@ -95,6 +95,33 @@ def write_audio_epoch(
     _write_epoch(audio_key_rows(new_rows, id_col), index.keys_dir, epoch, ["epoch", "pfx"])
 
 
+def seed_audio_index(
+    spark: SparkSession,
+    clips: DataFrame,
+    index: StreamIndex,
+    id_col: str = "clip_id",
+    min_snr_db: float = MIN_SNR_DB,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Cluster a base corpus with the BATCH audio pipeline
+    (operators/audio_dedup.py) and lay down the full sketch-index layout
+    (epoch = SEED_EPOCH) — the batch -> streaming migration path, the
+    audio twin of ingest.seed_index.  Returns the labels."""
+    from ..operators.audio_dedup import audio_dedup_clusters
+
+    labels = (
+        audio_dedup_clusters(clips, id_col, min_snr_db, bucket_cap)
+        .select(id_col, "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    rows = audio_signatures(clips, id_col).join(labels, id_col).select(
+        id_col, "keys", "spec", "n_samples", "cluster_id"
+    )
+    write_audio_epoch(rows, index, id_col, SEED_EPOCH)
+    _write_epoch(labels, index.labels_dir, SEED_EPOCH, ["epoch"])
+    return labels
+
+
 def _spec_distance(a, b):
     """Relative-L1 distance between two spectral-profile array columns,
     entirely JVM-side (zip_with + aggregate — no Python in the verify)."""

@@ -107,6 +107,37 @@ def write_fused_epoch(
     write_audio_epoch(audio_rows, index.audio, id_col, epoch)
 
 
+def seed_fused_index(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig,
+    index: FusedStreamIndex,
+    min_snr_db: float = MIN_SNR_DB,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Cluster a base corpus with the BATCH cross-modal pipeline
+    (operators/audio_dedup.py::fused_dedup_clusters) and lay down both
+    sub-index layouts plus the shared labels sink (epoch = SEED_EPOCH) —
+    the batch -> streaming migration path.  Returns the labels."""
+    from ..operators.audio_dedup import fused_dedup_clusters
+
+    iid = cfg.id_col
+    labels = (
+        fused_dedup_clusters(clips, cfg, min_snr_db, bucket_cap)
+        .select(iid, "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    text_rows = signed(clips, cfg).join(labels, iid).select(
+        iid, "shingles_h", "sketch", "band_keys", "cluster_id"
+    )
+    audio_rows = audio_signatures(clips, iid).join(labels, iid).select(
+        iid, "keys", "spec", "n_samples", "cluster_id"
+    )
+    write_fused_epoch(text_rows, audio_rows, index, iid, SEED_EPOCH)
+    _write_epoch(labels, index.labels_dir, SEED_EPOCH, ["epoch"])
+    return labels
+
+
 def attach_fused_batch(
     batch: DataFrame,
     cfg: DedupConfig,

@@ -17,6 +17,7 @@ from lsh_hdc_spark.streaming import (
     attach_audio_batch,
     rebuild_audio_index,
     run_audio_attach_stream,
+    seed_audio_index,
     write_audio_epoch,
 )
 from lsh_hdc_spark.streaming.ingest import _lock_path, _write_epoch
@@ -201,6 +202,32 @@ def test_audio_index_match_plan_shape(spark, index):
     ]
     assert len(sig_scans) == 1, plan
     assert "keys" not in sig_scans[0].split("ReadSchema")[-1], sig_scans[0]
+
+
+def test_seed_then_attach(spark, index):
+    """Batch -> streaming migration: seed the index from the BATCH audio
+    pipeline on the even ids, then attach the odd ids as one micro-batch —
+    every family must co-label with its seeded members (labels are the
+    batch pipeline's family minima, since seeding clusters even members
+    together and attach adopts)."""
+    clips = synth_clips(spark, 48, seed=42).localCheckpoint(eager=True)
+    even = clips.where(_idx(F.col("clip_id")) % 2 == 0)
+    odd = clips.where(_idx(F.col("clip_id")) % 2 == 1)
+    seed_audio_index(spark, even, index)
+    labels, rows = attach_audio_batch(odd, index)
+    _write_epoch(labels, index.labels_dir, 0, ["epoch"])
+    write_audio_epoch(rows, index, "clip_id", 0)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert len(got) == 48
+    n_fam = 32  # (int(48*0.7) // 4) * 4
+    for cid, label in got.items():
+        i = int(cid[4:])
+        # family root = min even member = the family start (always even)
+        root = (i // 4) * 4 if i < n_fam else i
+        assert label == f"clip{root:08d}", cid
 
 
 def test_audio_rebuild_refuses_while_stream_active(spark, index):

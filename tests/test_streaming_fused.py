@@ -15,6 +15,7 @@ from lsh_hdc_spark.streaming import (
     attach_fused_batch,
     rebuild_fused_index,
     run_fused_attach_stream,
+    seed_fused_index,
     write_fused_epoch,
 )
 from lsh_hdc_spark.streaming.ingest import _lock_path, _write_epoch
@@ -144,6 +145,29 @@ def test_fused_stream_drains_and_releases_lease(spark, index, tmp_path):
         roots.setdefault(i // 4, label)
         assert roots[i // 4] == label, cid
     assert not os.path.exists(_lock_path(index.text))
+
+
+def test_fused_seed_then_attach(spark, index):
+    """Batch -> streaming migration: seed from the BATCH fused pipeline on
+    the even ids, attach the odd ids as one micro-batch.  Divergent
+    families (audio-only cohesion) and normal families alike must co-label
+    with their seeded members."""
+    clips = _divergent_corpus(spark, 48).localCheckpoint(eager=True)
+    idx = F.substring("clip_id", 5, 8).cast("long")
+    seed_fused_index(spark, clips.where(idx % 2 == 0), CLIPS, index)
+    labels, t_rows, a_rows = attach_fused_batch(clips.where(idx % 2 == 1), CLIPS, index)
+    _write_epoch(labels, index.labels_dir, 0, ["epoch"])
+    write_fused_epoch(t_rows, a_rows, index, CLIPS.id_col, 0)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert len(got) == 48
+    n_fam = 32  # (int(48*0.7) // 4) * 4
+    for cid, label in got.items():
+        i = int(cid[4:])
+        root = (i // 4) * 4 if i < n_fam else i
+        assert label == f"clip{root:08d}", cid
 
 
 def test_fused_rebuild_refuses_while_stream_active(spark, index):
