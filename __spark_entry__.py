@@ -41,7 +41,7 @@ from lsh_hdc_spark.functions.hashing import hash_seeds, mix64
 from lsh_hdc_spark.functions.sign import FOLD_SEED, signed
 from lsh_hdc_spark.operators.cc import connected_components
 from lsh_hdc_spark.operators.exact_dup import exact_dup_groups, with_fingerprint
-from lsh_hdc_spark.operators.knn import ann_topk, cosine_topk_bruteforce
+from lsh_hdc_spark.operators.knn import ann_topk, ann_topk_ivf, cosine_topk_bruteforce
 from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs, shingle_rows
 from lsh_hdc_spark.operators.pairs import band_key_rows, candidate_pairs
 from lsh_hdc_spark.operators.substring import substring_pairs
@@ -519,6 +519,19 @@ def _q_ann_cosine(spark, sf_dir):
     bits) and trade recall for cost; drops are surfaced via
     ann_bucket_stats, never silently."""
     return ann_topk(_embs(spark, sf_dir), k=5, n_bits=64, bands=32)
+
+
+def _q_ann_cosine_ivf(spark, sf_dir):
+    """IVF coarse-quantizer approximate top-k (spherical k-means lists,
+    multi-probe), run at a validation config whose probe width has
+    measured recall 1.0 on this corpus — so the exact-kNN SQL oracles the
+    WHOLE IVF machinery (deterministic k-means training, probe
+    assignment, list self-join, rerank, tie-breaks).  nprobe < n_lists,
+    so the config is non-degenerate: candidate generation really is
+    list-pruned (~{nprobe}/{n_lists} of the corpus per probe), not
+    all-pairs.  Production tunes (n_lists, nprobe) down the recall/cost
+    curve and audits drops via ivf_list_stats, never silently."""
+    return ann_topk_ivf(_embs(spark, sf_dir), k=5, n_lists=8, nprobe=5)
 
 
 #: hot-band validation config: pair_cap lowered so a planted 301-copy
@@ -1236,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "knn_cosine": _q_knn_cosine,
         "ann_cosine": _q_ann_cosine,
+        "ann_cosine_ivf": _q_ann_cosine_ivf,
         "streaming_attach": _q_streaming_attach,
         "streaming_rebuild": _q_streaming_rebuild,
         "aul_score": _q_aul_score,
@@ -2310,6 +2324,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "ann_cosine": """
+            WITH unit AS (
+              SELECT vec_id,
+                     [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))
+                      for x in embedding::DOUBLE[]] AS u
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.u, b.u) AS cos_raw
+              FROM unit a JOIN unit b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 5
+        """,
+        # recall-1.0 validation config (see _q_ann_cosine_ivf), so the
+        # exact-kNN SQL is the oracle for the IVF path too
+        "ann_cosine_ivf": """
             WITH unit AS (
               SELECT vec_id,
                      [x / sqrt(list_sum([y * y for y in embedding::DOUBLE[]]))
