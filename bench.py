@@ -35,6 +35,43 @@ N_CLIPS = int(os.environ.get("BENCH_CLIPS", "20000"))
 STEAL_PCT_MAX = 1.0
 #: extra interleaved make-up rounds allowed when a query lacks clean runs
 MAX_EXTRA_ROUNDS = 2
+#: host-pressure canary contamination ratio: a run whose pre-run canary is
+#: this much slower than the session's fastest canary ran under measurable
+#: host pressure (see _canary) and is excluded from min/median like a
+#: steal-contaminated run
+CANARY_RATIO_MAX = 1.5
+
+
+def _canary() -> float:
+    """Milliseconds for a fixed single-threaded CPU+memory-bandwidth kernel.
+
+    Round 5 found a second weather mode the steal counter cannot see:
+    co-tenant pressure that slows runs 2-6x with steal ~0.01% and normal
+    iowait (memory-bandwidth / CPU-frequency contention — e.g. a first
+    kept round of 43.4 s vs a 7.2 s min at 0.038% steal).  This canary
+    measures that pressure directly: an elementwise numpy pass over an
+    8 MB array (too big for L2, so it exercises DRAM bandwidth) plus a
+    small matmul (exercises sustained clocks), single-threaded, ~50 ms
+    nominal.  Sampled immediately before each timed run; a run whose
+    canary exceeds CANARY_RATIO_MAX x the session minimum carries its
+    contamination measurement instead of an inference."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64)  # 8 MB
+    best = float("inf")
+    # two passes, keep the faster: scheduling blips are one-shot while the
+    # pressure mode this guards against lasts minutes (memory: steal
+    # storms ~30+ min), so min-of-2 drops noise without hiding pressure
+    for _ in range(2):
+        m = np.random.default_rng(0).standard_normal((96, 96))
+        t0 = time.monotonic()
+        s = 0.0
+        for _ in range(8):
+            s += float(np.sin(a).sum())
+            m = m @ m / np.abs(m).max()
+        assert s == s and m[0, 0] == m[0, 0]
+        best = min(best, (time.monotonic() - t0) * 1000.0)
+    return best
 
 
 def _cpu_ticks() -> list[int]:
@@ -176,43 +213,52 @@ def main() -> None:
     steal: dict[str, list[float]] = {}
     sy: dict[str, list[float]] = {}
     wa: dict[str, list[float]] = {}
+    canary: dict[str, list[float]] = {}
 
     def _one_round(names: set[str] | None = None) -> None:
         for name, fn in jobs:
             if names is not None and name not in names:
                 continue
+            cn = _canary()
             secs, st, s, w = _timed(fn)
             runs.setdefault(name, []).append(secs)
             steal.setdefault(name, []).append(st)
             sy.setdefault(name, []).append(s)
             wa.setdefault(name, []).append(w)
+            canary.setdefault(name, []).append(round(cn, 1))
             # release caches/checkpoints between runs so pinned blocks don't
             # degrade the next query (fresh-run semantics); sync so this
             # run's dirty writeback doesn't stall the NEXT run's timing
             spark.catalog.clearCache()
             os.sync()
 
-    # one DISCARDED full interleaved round first: measured on this host,
+    # TWO DISCARDED full interleaved rounds first: measured on this host,
     # the first timed pass of EVERY query is systematically the slowest
     # (JIT depth, shuffle-path ramp, writeback churn from the synth/warm-up
     # phase) — e.g. clips 14.5 s first vs 6.3-9.3 s after, substring 9.8 s
     # vs 5.2-6.2 s, with steal ~0 throughout, so it is process ramp rather
-    # than host weather.  Discarding round 0 for all queries is a
-    # pre-registered symmetric rule, not post-hoc outlier pruning.
-    _one_round()
+    # than host weather.  One discarded round proved not always enough:
+    # a round-5 session still saw its first KEPT round 4-6x slow at ~0
+    # steal (clips 43.4 s / sy 60.8%) — ramp can persist past one round.
+    # Discarding the first two rounds for all queries is a pre-registered
+    # symmetric rule, not post-hoc outlier pruning.
+    for _ in range(2):
+        _one_round()
     for name in list(runs):
         runs[name].clear()
         steal[name].clear()
         sy[name].clear()
         wa[name].clear()
+        canary[name].clear()
     for _ in range(4):
         _one_round()
 
     def _clean(name: str) -> list[float]:
+        cmin = min(c for cs in canary.values() for c in cs)
         return [
             r
-            for r, st in zip(runs[name], steal[name])
-            if st < STEAL_PCT_MAX
+            for r, st, cn in zip(runs[name], steal[name], canary[name])
+            if st < STEAL_PCT_MAX and cn <= CANARY_RATIO_MAX * cmin
         ]
 
     for _ in range(MAX_EXTRA_ROUNDS):
@@ -246,7 +292,9 @@ def main() -> None:
                 "runs_steal_pct": steal,
                 "runs_sy_pct": sy,
                 "runs_wa_pct": wa,
+                "runs_canary_ms": canary,
                 "steal_threshold_pct": STEAL_PCT_MAX,
+                "canary_ratio_max": CANARY_RATIO_MAX,
                 "clean_runs_kept": kept,
                 "queries_median": medians,
             }

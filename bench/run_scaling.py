@@ -38,6 +38,17 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# single source of truth for /proc/stat parsing: bench.py (the same columns
+# feed bench, scaling, and stream-attach protocols — a fix there must not
+# leave this file reporting different numbers).  importlib under a distinct
+# name because bench/ (this directory) shadows "import bench".
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location("bench_main", os.path.join(REPO, "bench.py"))
+_bench = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+_cpu_ticks = _bench._cpu_ticks
+
 
 def make_zip() -> str:
     dist = os.path.join(REPO, "dist")
@@ -73,16 +84,6 @@ def synth_input(n_clips: int, path: str) -> None:
         "parquet.enable.dictionary", "false"
     ).parquet(path)
     spark.stop()
-
-
-def _cpu_ticks() -> list[int]:
-    """First /proc/stat cpu line: user nice system idle iowait irq softirq
-    steal — sampled around each timed run so every rung carries measured
-    us/sy/steal columns (VERDICT r4 item 4) instead of a separate vmstat
-    trace needing manual classification."""
-    with open("/proc/stat") as fh:
-        v = fh.readline().split()[1:]
-    return list(map(int, v[:8]))
 
 
 def one_run(

@@ -26,7 +26,6 @@ import os
 import shutil
 import sys
 import tempfile
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -36,18 +35,11 @@ _spec = importlib.util.spec_from_file_location(
 )
 _bench = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_bench)
-_cpu_ticks = _bench._cpu_ticks
-
-
 def _timed(fn):
-    a = _cpu_ticks()
-    t0 = time.monotonic()
-    fn()
-    secs = time.monotonic() - t0
-    b = _cpu_ticks()
-    d = [y - x for x, y in zip(a, b)]
-    tot = max(sum(d), 1)
-    return round(secs, 3), round(100 * d[7] / tot, 3), round(100 * d[2] / tot, 2)
+    # bench.py's window-timer (single source of truth for the /proc/stat
+    # column math); this protocol reports (secs, steal%, sy%) only
+    secs, steal, sy, _wa = _bench._timed(fn)
+    return secs, steal, sy
 
 
 def main() -> None:

@@ -157,11 +157,16 @@ def audio_signatures(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
                 keys.append(as_i64(_mask_keys(pcm, int(sr))))
                 specs.append(_spec_profile(pcm))
                 nsamp.append(pcm.size)
+            # object dtype is load-bearing for the list columns: a batch
+            # where EVERY clip was skipped (all-undecodable) yields empty
+            # plain lists, which pandas infers as float64 — and Arrow
+            # cannot convert an empty float64 column to list<int64>/
+            # list<double> (crashes the whole job on one bad batch)
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    "keys": keys,
-                    "spec": specs,
+                    id_col: pd.Series(ids, dtype="object"),
+                    "keys": pd.Series(keys, dtype="object"),
+                    "spec": pd.Series(specs, dtype="object"),
                     "n_samples": np.asarray(nsamp, dtype=np.int64),
                 }
             )

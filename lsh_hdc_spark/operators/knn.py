@@ -42,6 +42,8 @@ def _unit_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
     def _norm(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
@@ -340,11 +342,11 @@ def ivf_train(
             .limit(n_lists)
             .collect()
         )
-        cent = np.stack([np.asarray(r["_unit"], dtype=np.float64) for r in seed_rows])
-        if cent.shape[0] < n_lists:
+        if len(seed_rows) < n_lists:
             raise ValueError(
-                f"n_lists={n_lists} exceeds corpus size {cent.shape[0]}"
+                f"n_lists={n_lists} exceeds corpus size {len(seed_rows)}"
             )
+        cent = np.stack([np.asarray(r["_unit"], dtype=np.float64) for r in seed_rows])
 
         def _partials_gen(c: np.ndarray):
             k_, d_ = c.shape

@@ -44,8 +44,6 @@ crash-safe three-table swap.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -59,11 +57,12 @@ from ..operators.cc import assign_clusters
 from .ingest import (
     SEED_EPOCH,
     StreamIndex,
-    _lock_path,
+    _adopt_labels,
     _pfx,
     _rebuild_tmp,
     _recover_swap,
     _require_stream_stopped,
+    _run_stream,
     _swap_index,
     _write_epoch,
 )
@@ -230,15 +229,7 @@ def attach_audio_batch(
 
     if index.exists(spark):
         best = _best_audio_match(sigs, index, id_col, spec_tol)
-        adopt = (
-            local.join(best, id_col)
-            .groupBy("local_cluster")
-            .agg(F.min("idx_cluster").alias("idx_cluster"))
-        )
-        labels = local.join(adopt, "local_cluster", "left").select(
-            id_col,
-            F.coalesce("idx_cluster", "local_cluster").alias("cluster_id"),
-        )
+        labels = _adopt_labels(local, best, id_col)
     else:
         labels = local.select(id_col, F.col("local_cluster").alias("cluster_id"))
 
@@ -268,25 +259,10 @@ def run_audio_attach_stream(
         _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
         write_audio_epoch(new_rows, index, id_col, epoch_id)
 
-    lock = _lock_path(index)
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
-    reader = spark.readStream.schema(schema).parquet(source_dir)
-    writer = reader.writeStream.foreachBatch(_per_batch).option(
-        "checkpointLocation", checkpoint_dir
+    _run_stream(
+        spark, source_dir, schema, _per_batch, checkpoint_dir, [index],
+        available_now,
     )
-    trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
-    q = writer.trigger(**trigger).start()
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
 
 
 def audio_sketch_edges(
@@ -347,11 +323,18 @@ def rebuild_audio_index(
         .localCheckpoint(eager=True)
     )
     edges = audio_sketch_edges(sigs, id_col, bucket_cap, spec_tol)
-    labels = (
-        assign_clusters(sigs.select(id_col), edges, id_col)
-        .select(id_col, "cluster_id")
-        .localCheckpoint(eager=True)
+    relabeled = assign_clusters(sigs.select(id_col), edges, id_col).select(
+        id_col, "cluster_id"
     )
+    # clips whose bytes never decoded have a label row (attach labels every
+    # batch row as a singleton) but no sketch row — re-clustering from the
+    # sketch index alone would silently drop them from the output table.
+    # They can never have matched anything, so their old singleton labels
+    # are carried over verbatim.
+    unsketched = index.read_labels(spark).join(
+        sigs.select(id_col), id_col, "left_anti"
+    ).select(id_col, "cluster_id")
+    labels = relabeled.unionByName(unsketched).localCheckpoint(eager=True)
     rows = sigs.join(labels, id_col).select(
         id_col, "keys", "spec", "n_samples", "cluster_id"
     ).localCheckpoint(eager=True)

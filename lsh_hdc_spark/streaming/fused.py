@@ -60,10 +60,12 @@ from .audio_ingest import (
 from .ingest import (
     SEED_EPOCH,
     StreamIndex,
+    _adopt_labels,
     _best_index_match,
     _rebuild_tmp,
     _recover_swap,
     _require_stream_stopped,
+    _run_stream,
     _swap_index,
     _write_epoch,
     key_rows,
@@ -179,15 +181,7 @@ def attach_fused_batch(
         best = matches[0]
         for m in matches[1:]:
             best = best.unionByName(m)
-        adopt = (
-            local.join(best, iid)
-            .groupBy("local_cluster")
-            .agg(F.min("idx_cluster").alias("idx_cluster"))
-        )
-        labels = local.join(adopt, "local_cluster", "left").select(
-            iid,
-            F.coalesce("idx_cluster", "local_cluster").alias("cluster_id"),
-        )
+        labels = _adopt_labels(local, best, iid)
     else:
         labels = local.select(iid, F.col("local_cluster").alias("cluster_id"))
 
@@ -212,36 +206,21 @@ def run_fused_attach_stream(
 ) -> None:
     """Run the cross-modal incremental ingest over a parquet file stream
     and block until the trigger drains (checkpointed + idempotent epoch
-    overwrites; the stream lease is held on the TEXT sub-index — the fused
-    rebuild checks both, so one lease fences both compactions)."""
-    import os
-
-    from .ingest import _lock_path
+    overwrites).  The stream lease is held on BOTH sub-indexes: the fused
+    rebuild checks both, and holding both also fences a caller who runs the
+    single-axis rebuild_audio_index / rebuild_index directly against a
+    fused sub-index — either would swap the SHARED labels table out from
+    under the live stream."""
 
     def _per_batch(b: DataFrame, epoch_id: int) -> None:
         labels, text_rows, audio_rows = attach_fused_batch(b, cfg, index)
         _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
         write_fused_epoch(text_rows, audio_rows, index, cfg.id_col, epoch_id)
 
-    lock = _lock_path(index.text)
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
-    reader = spark.readStream.schema(schema).parquet(source_dir)
-    writer = reader.writeStream.foreachBatch(_per_batch).option(
-        "checkpointLocation", checkpoint_dir
+    _run_stream(
+        spark, source_dir, schema, _per_batch, checkpoint_dir,
+        [index.text, index.audio], available_now,
     )
-    trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
-    q = writer.trigger(**trigger).start()
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
 
 
 def rebuild_fused_index(
@@ -276,11 +255,17 @@ def rebuild_fused_index(
     )
     a_edges = audio_sketch_edges(a_sigs, iid, bucket_cap, spec_tol)
     edges = t_edges.unionByName(a_edges).distinct()
-    labels = (
-        assign_clusters(t_sigs.select(iid), edges, iid)
-        .select(iid, "cluster_id")
-        .localCheckpoint(eager=True)
+    relabeled = assign_clusters(t_sigs.select(iid), edges, iid).select(
+        iid, "cluster_id"
     )
+    # same guard as rebuild_audio_index: any labeled id absent from the
+    # signature universe (t_sigs covers every attached row today, but the
+    # invariant is the label table's, not the signer's) keeps its old
+    # singleton label instead of silently vanishing from the swap
+    unsigned = spark.read.parquet(index.labels_dir).join(
+        t_sigs.select(iid), iid, "left_anti"
+    ).select(iid, "cluster_id")
+    labels = relabeled.unionByName(unsigned).localCheckpoint(eager=True)
     text_rows = t_sigs.join(labels, iid).select(
         iid, "shingles_h", "sketch", "band_keys", "cluster_id"
     ).localCheckpoint(eager=True)

@@ -260,19 +260,7 @@ def attach_batch(
 
     if index.exists(spark):
         best = _best_index_match(s_new, index, cfg)
-        # adopt per LOCAL cluster: any member match attaches the whole local
-        # cluster; when members match different index clusters the smallest
-        # label wins (deterministic; the clusters are NOT merged — greedy
-        # semantics per the module docstring)
-        adopt = (
-            local.join(best, iid)
-            .groupBy("local_cluster")
-            .agg(F.min("idx_cluster").alias("idx_cluster"))
-        )
-        labels = local.join(adopt, "local_cluster", "left").select(
-            iid,
-            F.coalesce("idx_cluster", "local_cluster").alias("cluster_id"),
-        )
+        labels = _adopt_labels(local, best, iid)
     else:
         labels = local.select(iid, F.col("local_cluster").alias("cluster_id"))
 
@@ -284,6 +272,23 @@ def attach_batch(
     return labels, new_rows
 
 
+def _adopt_labels(local: DataFrame, best: DataFrame, id_col: str) -> DataFrame:
+    """(id, cluster_id) — adopt per LOCAL cluster: any member match attaches
+    the whole local cluster; when members match different index clusters the
+    smallest label wins (deterministic; the clusters are NOT merged — greedy
+    semantics per the module docstring).  Shared by the text, audio, and
+    fused attach paths so the tie-break can never diverge between axes."""
+    adopt = (
+        local.join(best, id_col)
+        .groupBy("local_cluster")
+        .agg(F.min("idx_cluster").alias("idx_cluster"))
+    )
+    return local.join(adopt, "local_cluster", "left").select(
+        id_col,
+        F.coalesce("idx_cluster", "local_cluster").alias("cluster_id"),
+    )
+
+
 def _lock_path(index: StreamIndex) -> str:
     """Active-stream marker: a lease file next to sig_dir.  Held for the
     lifetime of run_attach_stream; rebuild_index refuses to run while it
@@ -293,6 +298,64 @@ def _lock_path(index: StreamIndex) -> str:
     pid so an operator can confirm it is stale and remove it (production:
     an Iceberg table property / a ZK lease with TTL)."""
     return index.sig_dir + ".stream_lock"
+
+
+def _acquire_leases(indexes) -> list[str]:
+    """Write the active-stream lease file for each index; returns the lock
+    paths.  Callers must release in a finally that also covers a failed
+    .start() — a leaked lease blocks every later rebuild with a live-pid
+    holder that the documented recovery procedure would misread."""
+    locks = []
+    for ix in indexes:
+        lock = _lock_path(ix)
+        os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+        with open(lock, "w") as fh:
+            fh.write(str(os.getpid()))
+        locks.append(lock)
+    return locks
+
+
+def _release_leases(locks: list[str]) -> None:
+    for lock in locks:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    per_batch,
+    checkpoint_dir: str,
+    lease_indexes,
+    available_now: bool,
+) -> None:
+    """Shared foreachBatch scaffold for the blocking attach streams (text /
+    audio / fused): hold the stream lease(s) from before .start() until the
+    query terminates — INCLUDING the window where .start() itself raises
+    (bad source path, checkpoint schema conflict), which previously leaked
+    the lease and bricked every subsequent rebuild."""
+    locks = _acquire_leases(lease_indexes)
+    try:
+        reader = spark.readStream.schema(schema).parquet(source_dir)
+        writer = reader.writeStream.foreachBatch(per_batch).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        trigger = (
+            {"availableNow": True}
+            if available_now
+            else {"processingTime": "1 seconds"}
+        )
+        q = writer.trigger(**trigger).start()
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        _release_leases(locks)
 
 
 def run_attach_stream(
@@ -316,25 +379,10 @@ def run_attach_stream(
         _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
         write_index_epoch(new_rows, index, cfg.id_col, epoch_id)
 
-    lock = _lock_path(index)
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
-    reader = spark.readStream.schema(schema).parquet(source_dir)
-    writer = reader.writeStream.foreachBatch(_per_batch).option(
-        "checkpointLocation", checkpoint_dir
+    _run_stream(
+        spark, source_dir, schema, _per_batch, checkpoint_dir, [index],
+        available_now,
     )
-    trigger = {"availableNow": True} if available_now else {"processingTime": "1 seconds"}
-    q = writer.trigger(**trigger).start()
-    try:
-        q.awaitTermination()
-    finally:
-        if q.isActive:
-            q.stop()
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
 
 
 def start_attach_stream(
@@ -357,18 +405,19 @@ def start_attach_stream(
         _write_epoch(labels, index.labels_dir, epoch_id, ["epoch"])
         write_index_epoch(new_rows, index, cfg.id_col, epoch_id)
 
-    lock = _lock_path(index)
-    os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-    with open(lock, "w") as fh:
-        fh.write(str(os.getpid()))
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .writeStream.foreachBatch(_per_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=processing_time)
-        .start()
-    )
+    locks = _acquire_leases([index])
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(source_dir)
+            .writeStream.foreachBatch(_per_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+    except BaseException:
+        _release_leases(locks)
+        raise
 
     class _Handle:
         query = q
@@ -380,10 +429,7 @@ def start_attach_stream(
                     q.stop()
                 q.awaitTermination()
             finally:
-                try:
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass
+                _release_leases(locks)
 
     return _Handle
 

@@ -240,3 +240,46 @@ def test_audio_rebuild_refuses_while_stream_active(spark, index):
             rebuild_audio_index(spark, index)
     finally:
         os.remove(lock)
+
+
+def test_rebuild_preserves_undecodable_clip_labels(spark, index):
+    """A clip whose bytes never decode gets a singleton label from attach
+    (attach labels EVERY batch row) but no sketch row; rebuild re-clusters
+    from the sketch index, so without the carry-over guard its label row
+    would silently vanish from the swapped-in labels table."""
+    clips = synth_clips(spark, 12, seed=42)
+    bad = spark.createDataFrame(
+        [("clipXBAD0001", b"", 16000, 100, "pcm_s16le", "broken payload")],
+        clips.schema,
+    )
+    labels, rows = attach_audio_batch(clips.unionByName(bad), index)
+    _write_epoch(labels, index.labels_dir, 0, ["epoch"])
+    write_audio_epoch(rows, index, "clip_id", 0)
+    before = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert before["clipXBAD0001"] == "clipXBAD0001"  # labeled, singleton
+    rebuild_audio_index(spark, index)
+    after = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert after["clipXBAD0001"] == "clipXBAD0001"  # survives compaction
+    assert len(after) == len(before)
+
+
+def test_stream_lease_released_when_start_fails(spark, index, tmp_path):
+    """A failed .start() (bad source path) must not leak the lease: a
+    leaked lease blocks every later rebuild with a live-pid holder."""
+    schema = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+    with pytest.raises(Exception):
+        run_audio_attach_stream(
+            spark,
+            str(tmp_path / "does_not_exist"),
+            schema,
+            index,
+            str(tmp_path / "ckpt_fail"),
+            available_now=True,
+        )
+    assert not os.path.exists(_lock_path(index)), "lease leaked on failed start"

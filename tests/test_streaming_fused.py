@@ -180,3 +180,40 @@ def test_fused_rebuild_refuses_while_stream_active(spark, index):
             rebuild_fused_index(spark, CLIPS, index)
     finally:
         os.remove(lock)
+
+
+def test_fused_stream_holds_both_sub_index_leases(spark, index, tmp_path):
+    """The fused stream must fence BOTH single-axis rebuilds: holding only
+    the text lease would let rebuild_audio_index(index.audio) swap the
+    SHARED labels table out from under the live stream."""
+    import lsh_hdc_spark.streaming.fused as fused_mod
+    from lsh_hdc_spark.streaming.fused import run_fused_attach_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    synth_clips(spark, 8, seed=42).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    seen = []
+    orig = fused_mod.attach_fused_batch
+
+    def _spy(batch, cfg, idx, **kw):
+        seen.append(
+            (
+                os.path.exists(_lock_path(idx.text)),
+                os.path.exists(_lock_path(idx.audio)),
+            )
+        )
+        return orig(batch, cfg, idx, **kw)
+
+    fused_mod.attach_fused_batch = _spy
+    try:
+        run_fused_attach_stream(
+            spark, src, schema, CLIPS, index, str(tmp_path / "ckpt_lease"),
+            available_now=True,
+        )
+    finally:
+        fused_mod.attach_fused_batch = orig
+    assert seen and all(t and a for t, a in seen), seen
+    assert not os.path.exists(_lock_path(index.text))
+    assert not os.path.exists(_lock_path(index.audio))
