@@ -51,10 +51,11 @@ def _canary() -> float:
     kept round of 43.4 s vs a 7.2 s min at 0.038% steal).  This canary
     measures that pressure directly: an elementwise numpy pass over an
     8 MB array (too big for L2, so it exercises DRAM bandwidth) plus a
-    small matmul (exercises sustained clocks), single-threaded, ~50 ms
-    nominal.  Sampled immediately before each timed run; a run whose
-    canary exceeds CANARY_RATIO_MAX x the session minimum carries its
-    contamination measurement instead of an inference."""
+    small matmul (exercises sustained clocks), single-threaded, ~100 ms
+    nominal.  Sampled immediately before AND after each timed run (scored
+    as the max — pressure rising mid-run shows in the after-sample); a
+    run whose canary exceeds CANARY_RATIO_MAX x the session minimum
+    carries its contamination measurement instead of an inference."""
     import numpy as np
 
     a = np.arange(1_000_000, dtype=np.float64)  # 8 MB
@@ -219,31 +220,44 @@ def main() -> None:
         for name, fn in jobs:
             if names is not None and name not in names:
                 continue
-            cn = _canary()
+            # canary sampled BEFORE AND AFTER, scored as the max: pressure
+            # that rises mid-run shows in the after-sample (measured: a
+            # 37 s clips outlier with a quiet 80 ms pre-canary whose
+            # pressure episode was caught by the NEXT run's pre-canary)
+            cn0 = _canary()
             secs, st, s, w = _timed(fn)
+            cn1 = _canary()
             runs.setdefault(name, []).append(secs)
             steal.setdefault(name, []).append(st)
             sy.setdefault(name, []).append(s)
             wa.setdefault(name, []).append(w)
-            canary.setdefault(name, []).append(round(cn, 1))
+            canary.setdefault(name, []).append(round(max(cn0, cn1), 1))
             # release caches/checkpoints between runs so pinned blocks don't
             # degrade the next query (fresh-run semantics); sync so this
             # run's dirty writeback doesn't stall the NEXT run's timing
             spark.catalog.clearCache()
             os.sync()
 
-    # TWO DISCARDED full interleaved rounds first: measured on this host,
-    # the first timed pass of EVERY query is systematically the slowest
-    # (JIT depth, shuffle-path ramp, writeback churn from the synth/warm-up
-    # phase) — e.g. clips 14.5 s first vs 6.3-9.3 s after, substring 9.8 s
-    # vs 5.2-6.2 s, with steal ~0 throughout, so it is process ramp rather
-    # than host weather.  One discarded round proved not always enough:
-    # a round-5 session still saw its first KEPT round 4-6x slow at ~0
-    # steal (clips 43.4 s / sy 60.8%) — ramp can persist past one round.
-    # Discarding the first two rounds for all queries is a pre-registered
-    # symmetric rule, not post-hoc outlier pruning.
-    for _ in range(2):
+    # CONVERGENCE-GATED warm-up (JMH-style, pre-registered): the first
+    # timed passes of every query are systematically the slowest (JIT
+    # depth, shuffle-path ramp, writeback churn) with steal ~0, and the
+    # ramp does not last a FIXED number of rounds — round-5 sessions saw
+    # the first kept round still 4-6x slow (clips 43.4 s / sy 60.8%) after
+    # one discarded round, and again (37.4 s / sy 56%) after two.  So the
+    # warm-up discards full interleaved rounds until every query's last
+    # two walls agree within WARM_AGREE x (i.e. the measurement has
+    # reached the steady state the metric claims), capped at
+    # MAX_DISCARD_ROUNDS; the count used is published.
+    WARM_AGREE = 1.3
+    MAX_DISCARD_ROUNDS = 5
+    discard_rounds = 0
+    for i in range(MAX_DISCARD_ROUNDS):
         _one_round()
+        discard_rounds += 1
+        if i >= 1 and all(
+            max(rs[-2:]) <= WARM_AGREE * min(rs[-2:]) for rs in runs.values()
+        ):
+            break
     for name in list(runs):
         runs[name].clear()
         steal[name].clear()
@@ -295,6 +309,7 @@ def main() -> None:
                 "runs_canary_ms": canary,
                 "steal_threshold_pct": STEAL_PCT_MAX,
                 "canary_ratio_max": CANARY_RATIO_MAX,
+                "warmup_rounds_discarded": discard_rounds,
                 "clean_runs_kept": kept,
                 "queries_median": medians,
             }
