@@ -226,17 +226,18 @@ def main() -> None:
             # pressure episode was caught by the NEXT run's pre-canary)
             cn0 = _canary()
             secs, st, s, w = _timed(fn)
+            # release caches/checkpoints and flush THIS run's dirty
+            # writeback BEFORE the after-canary: a heavy-write query's own
+            # background writeback would otherwise inflate cn1 and read as
+            # host pressure (self-inflicted false exclusion)
+            spark.catalog.clearCache()
+            os.sync()
             cn1 = _canary()
             runs.setdefault(name, []).append(secs)
             steal.setdefault(name, []).append(st)
             sy.setdefault(name, []).append(s)
             wa.setdefault(name, []).append(w)
             canary.setdefault(name, []).append(round(max(cn0, cn1), 1))
-            # release caches/checkpoints between runs so pinned blocks don't
-            # degrade the next query (fresh-run semantics); sync so this
-            # run's dirty writeback doesn't stall the NEXT run's timing
-            spark.catalog.clearCache()
-            os.sync()
 
     # CONVERGENCE-GATED warm-up (JMH-style, pre-registered): the first
     # timed passes of every query are systematically the slowest (JIT
@@ -251,12 +252,14 @@ def main() -> None:
     WARM_AGREE = 1.3
     MAX_DISCARD_ROUNDS = 5
     discard_rounds = 0
+    warmup_converged = False
     for i in range(MAX_DISCARD_ROUNDS):
         _one_round()
         discard_rounds += 1
         if i >= 1 and all(
             max(rs[-2:]) <= WARM_AGREE * min(rs[-2:]) for rs in runs.values()
         ):
+            warmup_converged = True
             break
     for name in list(runs):
         runs[name].clear()
@@ -309,7 +312,12 @@ def main() -> None:
                 "runs_canary_ms": canary,
                 "steal_threshold_pct": STEAL_PCT_MAX,
                 "canary_ratio_max": CANARY_RATIO_MAX,
+                # converged=false means the cap was hit with the last two
+                # warm-up walls still disagreeing > WARM_AGREE: the kept
+                # rounds may have begun unconverged — steady state was
+                # assumed there, not detected (read mins accordingly)
                 "warmup_rounds_discarded": discard_rounds,
+                "warmup_converged": warmup_converged,
                 "clean_runs_kept": kept,
                 "queries_median": medians,
             }

@@ -452,13 +452,24 @@ def ivf_list_stats(
     n_lists: int = 16,
     nprobe: int = 4,
     seed: int = 0xA23,
+    iters: int = 5,
     list_cap: int = 100_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(tier, n_lists, n_rows, max_list) census of the probed inverted
     lists — the same never-drop-silently policy metric as
     ann_bucket_stats: 'dropped' lists exceed list_cap and are excluded
-    from the search, 'cold' are searched, 'singleton' pair nothing."""
-    cent = ivf_train(df, id_col, vec_col, n_lists=n_lists, seed=seed)
+    from the search, 'cold' are searched, 'singleton' pair nothing.
+
+    To audit exactly the lists a search excluded, pass the SAME training
+    parameters as the ann_topk_ivf call (training is deterministic, so
+    equal parameters reproduce bit-identical centroids) — or pass the
+    search's `centroids` directly to skip retraining."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_train(df, id_col, vec_col, n_lists=n_lists, seed=seed, iters=iters)
+    )
     keyed = _ivf_keyed(df, id_col, vec_col, cent, nprobe).select(
         id_col, F.explode("cids").alias("cid")
     )
@@ -489,17 +500,25 @@ def ann_topk_ivf(
     seed: int = 0xA23,
     iters: int = 5,
     list_cap: int = 100_000,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF coarse quantizer:
     train spherical k-means (``ivf_train``), probe each vector's nprobe
     nearest lists, form candidate pairs within shared lists, rerank with
     exact cosine.  Recall is tuned by (n_lists, nprobe) — nprobe = n_lists
     degrades gracefully to exact — and audited the same two ways as the
-    LSH path: ``ivf_list_stats`` counts what list_cap excluded, and the
-    harness validates a measured-recall-1.0 config against the exact-kNN
-    oracle.  Like ann_topk, unit vectors join back only after the distinct
-    candidate-id set — probe shuffles move (id, cid) rows only."""
-    cent = ivf_train(df, id_col, vec_col, n_lists=n_lists, seed=seed, iters=iters)
+    LSH path: ``ivf_list_stats`` with the same training parameters (or
+    the same `centroids`) counts what list_cap excluded, and the harness
+    validates a measured-recall-1.0 config against the exact-kNN oracle.
+    Like ann_topk, unit vectors join back only after the distinct
+    candidate-id set — probe shuffles move (id, cid) rows only.  Pass
+    `centroids` (from ``ivf_train``) to reuse one training across search,
+    census, and repeated queries."""
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_train(df, id_col, vec_col, n_lists=n_lists, seed=seed, iters=iters)
+    )
     keyed_rows = _ivf_keyed(df, id_col, vec_col, cent, nprobe)
     from pyspark.storagelevel import StorageLevel
 

@@ -44,6 +44,8 @@ crash-safe three-table swap.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -331,10 +333,12 @@ def rebuild_audio_index(
     # sketch index alone would silently drop them from the output table.
     # They can never have matched anything, so their old singleton labels
     # are carried over verbatim.
-    unsketched = index.read_labels(spark).join(
-        sigs.select(id_col), id_col, "left_anti"
-    ).select(id_col, "cluster_id")
-    labels = relabeled.unionByName(unsketched).localCheckpoint(eager=True)
+    if os.path.exists(index.labels_dir):
+        unsketched = index.read_labels(spark).join(
+            sigs.select(id_col), id_col, "left_anti"
+        ).select(id_col, "cluster_id")
+        relabeled = relabeled.unionByName(unsketched)
+    labels = relabeled.localCheckpoint(eager=True)
     rows = sigs.join(labels, id_col).select(
         id_col, "keys", "spec", "n_samples", "cluster_id"
     ).localCheckpoint(eager=True)

@@ -35,6 +35,8 @@ tables with the shared crash-safe swap.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -255,17 +257,25 @@ def rebuild_fused_index(
     )
     a_edges = audio_sketch_edges(a_sigs, iid, bucket_cap, spec_tol)
     edges = t_edges.unionByName(a_edges).distinct()
-    relabeled = assign_clusters(t_sigs.select(iid), edges, iid).select(
-        iid, "cluster_id"
+    # the CC vertex set is the UNION of both sig tables' ids: an id signed
+    # on only one axis (e.g. undecodable audio keeps it out of a_sigs; a
+    # hypothetical skipping text signer would keep it out of t_sigs) must
+    # still be a vertex, or its fresh edges on the OTHER axis would be
+    # silently discarded and a bridging merge lost
+    vertices = (
+        t_sigs.select(iid).unionByName(a_sigs.select(iid)).distinct()
     )
-    # same guard as rebuild_audio_index: any labeled id absent from the
-    # signature universe (t_sigs covers every attached row today, but the
-    # invariant is the label table's, not the signer's) keeps its old
-    # singleton label instead of silently vanishing from the swap
-    unsigned = spark.read.parquet(index.labels_dir).join(
-        t_sigs.select(iid), iid, "left_anti"
-    ).select(iid, "cluster_id")
-    labels = relabeled.unionByName(unsigned).localCheckpoint(eager=True)
+    relabeled = assign_clusters(vertices, edges, iid).select(iid, "cluster_id")
+    # same guard as rebuild_audio_index: any labeled id absent from BOTH
+    # signature tables (the invariant is the label table's, not the
+    # signers') keeps its old singleton label instead of silently
+    # vanishing from the swap
+    if os.path.exists(index.labels_dir):
+        unsigned = spark.read.parquet(index.labels_dir).join(
+            vertices, iid, "left_anti"
+        ).select(iid, "cluster_id")
+        relabeled = relabeled.unionByName(unsigned)
+    labels = relabeled.localCheckpoint(eager=True)
     text_rows = t_sigs.join(labels, iid).select(
         iid, "shingles_h", "sketch", "band_keys", "cluster_id"
     ).localCheckpoint(eager=True)

@@ -301,17 +301,33 @@ def _lock_path(index: StreamIndex) -> str:
 
 
 def _acquire_leases(indexes) -> list[str]:
-    """Write the active-stream lease file for each index; returns the lock
-    paths.  Callers must release in a finally that also covers a failed
-    .start() — a leaked lease blocks every later rebuild with a live-pid
-    holder that the documented recovery procedure would misread."""
-    locks = []
-    for ix in indexes:
-        lock = _lock_path(ix)
-        os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
-        with open(lock, "w") as fh:
-            fh.write(str(os.getpid()))
-        locks.append(lock)
+    """Create the active-stream lease file for each index (exclusive —
+    O_EXCL); returns the lock paths.  An already-held lease raises instead
+    of being overwritten: silently stealing it would let this stream's
+    exit delete the OTHER stream's rebuild fence (the corruption class the
+    lease exists to prevent).  Callers must release in a finally that also
+    covers a failed .start() — a leaked lease blocks every later rebuild
+    with a live-pid holder that the recovery procedure would misread."""
+    locks: list[str] = []
+    try:
+        for ix in indexes:
+            lock = _lock_path(ix)
+            os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+            try:
+                with open(lock, "x") as fh:
+                    fh.write(str(os.getpid()))
+            except FileExistsError:
+                with open(lock) as fh:
+                    holder = fh.read().strip()
+                raise RuntimeError(
+                    f"attach stream: active-stream lease {lock} already "
+                    f"held (pid {holder}); stop that stream first (remove "
+                    "the file only if the holder is dead)"
+                ) from None
+            locks.append(lock)
+    except BaseException:
+        _release_leases(locks)
+        raise
     return locks
 
 
@@ -474,9 +490,21 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
         .localCheckpoint(eager=True)
     )
     edges = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg).select("src", "dst")
-    labels = assign_clusters(sigs.select(iid), edges, iid).select(
+    relabeled = assign_clusters(sigs.select(iid), edges, iid).select(
         iid, "cluster_id"
-    ).localCheckpoint(eager=True)
+    )
+    # label-table invariant (same guard as the audio/fused rebuilds): any
+    # labeled id absent from the signature table keeps its old label
+    # verbatim instead of silently vanishing from the swapped-in table —
+    # signed() emits a row per input row today, but the invariant to
+    # uphold is the label table's, not the signer's.  (An index may have
+    # sig/key epochs but no labels table yet — nothing to carry then.)
+    if os.path.exists(index.labels_dir):
+        unsigned = index.read_labels(spark).join(
+            sigs.select(iid), iid, "left_anti"
+        ).select(iid, "cluster_id")
+        relabeled = relabeled.unionByName(unsigned)
+    labels = relabeled.localCheckpoint(eager=True)
     rows = sigs.join(labels, iid).select(
         iid, "shingles_h", "sketch", "band_keys", "cluster_id"
     ).localCheckpoint(eager=True)

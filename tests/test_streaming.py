@@ -370,3 +370,48 @@ def test_processing_time_trigger_smoke(spark, index, tmpdirs):
         .collect()
     }
     assert labels == {20: 1, 21: 1}  # both attached to the seeded cluster
+
+
+def test_acquire_leases_refuses_held_lease_and_rolls_back(tmp_path):
+    """A second stream must fail fast on an already-held lease rather than
+    silently overwrite it — stealing the lease would let the second
+    stream's exit delete the FIRST stream's rebuild fence.  Partial
+    acquisitions roll back."""
+    from lsh_hdc_spark.streaming.ingest import (
+        StreamIndex,
+        _acquire_leases,
+        _lock_path,
+        _release_leases,
+    )
+
+    ix1 = StreamIndex(
+        str(tmp_path / "a_sig"), str(tmp_path / "a_lab"), str(tmp_path / "a_keys")
+    )
+    ix2 = StreamIndex(
+        str(tmp_path / "b_sig"), str(tmp_path / "b_lab"), str(tmp_path / "b_keys")
+    )
+    locks = _acquire_leases([ix1])
+    with pytest.raises(RuntimeError, match="already held"):
+        _acquire_leases([ix2, ix1])  # ix2 acquired first, then ix1 collides
+    assert os.path.exists(_lock_path(ix1)), "victim lease must survive"
+    assert not os.path.exists(_lock_path(ix2)), "partial acquisition rolled back"
+    _release_leases(locks)
+    assert not os.path.exists(_lock_path(ix1))
+
+
+def test_text_rebuild_preserves_unsigned_labels(spark, index):
+    """Same label-table invariant as the audio/fused rebuilds: a labeled id
+    with no signature row (lost sig epoch, skipping signer) must keep its
+    label through rebuild_index instead of silently vanishing."""
+    from lsh_hdc_spark.streaming.ingest import _write_epoch
+
+    _seed(spark, index)
+    ghost = spark.createDataFrame([(999, 999)], "doc_id long, cluster_id long")
+    _write_epoch(ghost, index.labels_dir, 1, ["epoch"])
+    rebuild_index(spark, CFG, index)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert got[999] == 999, "unsigned label must survive compaction"
+    assert len(got) == 4  # 3 seeded + the ghost

@@ -217,3 +217,40 @@ def test_fused_stream_holds_both_sub_index_leases(spark, index, tmp_path):
     assert seen and all(t and a for t, a in seen), seen
     assert not os.path.exists(_lock_path(index.text))
     assert not os.path.exists(_lock_path(index.audio))
+
+
+def test_fused_rebuild_merges_audio_only_id(spark, index, tmp_path):
+    """An id present in the AUDIO sig table but absent from the text one
+    (e.g. its text signature epoch was lost) must still be a CC vertex in
+    the fused rebuild: its audio edges have to merge it into its family,
+    not be silently discarded while the carry-over keeps a stale label."""
+    from lsh_hdc_spark.streaming.audio_ingest import write_audio_epoch as _wae
+    from lsh_hdc_spark.streaming.fused import rebuild_fused_index
+
+    clips = synth_clips(spark, 12, seed=42)
+    labels, t_rows, a_rows = attach_fused_batch(clips, CLIPS, index)
+    _write_epoch(labels, index.labels_dir, 0, ["epoch"])
+    write_fused_epoch(t_rows, a_rows, index, CLIPS.id_col, 0)
+
+    # clone clip00000000's audio sketch under a new id, write it to the
+    # AUDIO sub-index only (no text sig row), labeled as its own singleton
+    # — the audio edge (identical spec) is the only thing that can merge it
+    ghost = "clipZAUD0001"
+    donor = (
+        spark.read.parquet(index.audio.sig_dir)
+        .where(F.col("clip_id") == "clip00000000")
+        .select(F.lit(ghost).alias("clip_id"), "keys", "spec", "n_samples",
+                F.lit(ghost).alias("cluster_id"))
+    )
+    _wae(donor, index.audio, "clip_id", 1)
+    _write_epoch(donor.select("clip_id", "cluster_id"), index.labels_dir, 1, ["epoch"])
+
+    rebuild_fused_index(spark, CLIPS, index)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(index.labels_dir).collect()
+    }
+    assert got[ghost] == got["clip00000000"], (
+        "audio-only id must merge into its family via its audio edge"
+    )
+    assert len(got) == 13
