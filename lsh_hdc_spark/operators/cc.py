@@ -21,7 +21,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: unique suffixes for the global-temp-view handoff between sessions (safe
@@ -155,6 +155,16 @@ def connected_components(
         e = e.localCheckpoint(eager=True)
         pinned.append(e)
         n_edges = e.count()
+        if n_edges == 0:
+            # no edges -> no labeled nodes.  Short-circuits the whole loop
+            # (each round is 3+ driver jobs); common for micro-batches with
+            # no intra-batch duplicates and for dup-free corpora.  Derived
+            # from the caller's plan via limit(0) (folds to an empty
+            # LocalRelation), NOT from the unpersisted checkpoint frame.
+            e.unpersist()
+            return edges.select(
+                F.col("src").alias("id"), F.col("dst").alias("cluster_id")
+            ).limit(0)
         loop_parts = max(
             2,
             min(
@@ -226,8 +236,18 @@ def assign_clusters(
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         )
     )
-    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    out = out.join(sizes, "cluster_id")
+    # cluster_size via a window count: ONE exchange on cluster_id over the
+    # already-joined frame.  The previous groupBy + self-join attached the
+    # same number through 2 extra exchanges AND recomputed the whole
+    # ids-join-labels subtree a second time (no common-subexpression reuse
+    # across a DataFrame self-join) — 2 scans + 4 exchanges for the same
+    # result (guide §2.4: remove shuffles outright).  The window partition
+    # is one cluster; count-only windows stream, so a degenerate
+    # mega-cluster costs a big sort partition, not memory.
+    out = out.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("cluster_id")),
+    )
     if min_support > 1:
         out = out.withColumn(
             "cluster_id",

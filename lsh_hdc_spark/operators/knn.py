@@ -65,13 +65,23 @@ def _topk(both: DataFrame, k: int) -> DataFrame:
 
 
 def _mirror(sims: DataFrame) -> DataFrame:
-    return sims.unionByName(
-        sims.select(
-            F.col("neighbor_id").alias("vec_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            "cosine",
-        )
-    )
+    """Emit each (a, b, cosine) row also as (b, a, cosine) — via one
+    inline explode, NOT a self-union: a Union of the frame with its own
+    swap evaluates the upstream plan twice (no common-subexpression reuse
+    across DataFrame self-references), which doubled the candidate joins
+    and the dot-product UDF in every top-k path (guide §2.4)."""
+    return sims.select(
+        F.explode(
+            F.array(
+                F.struct("vec_id", "neighbor_id", "cosine"),
+                F.struct(
+                    F.col("neighbor_id").alias("vec_id"),
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.vec_id", "_e.neighbor_id", "_e.cosine")
 
 
 def cosine_topk_bruteforce(

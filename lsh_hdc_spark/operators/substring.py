@@ -81,19 +81,35 @@ def winnow_fingerprints(
     text_col: str,
     min_len: int = 64,
     k: int = _K_DEFAULT,
+    windows: bool = False,
 ) -> DataFrame:
     """(id, pos, fp): winnowed k-gram fingerprints of the normalized text.
-    Any >=min_len common substring between two docs yields a shared fp."""
+    Any >=min_len common substring between two docs yields a shared fp.
+
+    windows=True additionally emits (lw, rw): the <= min_len normalized
+    chars immediately BEFORE pos and the min_len chars FROM pos.  These
+    windows make the anchor-extension test local: the maximal common
+    substring through an aligned anchor is >= min_len iff
+    common_suffix(lw_a, lw_b) + common_prefix(rw_a, rw_b) >= min_len
+    (capping each extension side at min_len preserves the >= min_len
+    verdict: if the true run reaches min_len, either one capped side
+    saturates or both are below the cap and exact).  substring_pairs uses
+    this to verify candidates on ~2*min_len chars per anchor instead of
+    joining full document texts per candidate pair."""
     w = min_len - k + 1
     if w < 1:
         raise ValueError("min_len must be >= k")
     base = df.select(F.col(id_col), _norm_text_col(F.col(text_col)).alias("_t"))
     out_schema = f"{base.schema[id_col].dataType.simpleString()}"
     schema = f"{id_col} {out_schema}, pos long, fp long"
+    if windows:
+        schema += ", lw string, rw string"
 
     def _gen(batches):
         for pdf in batches:
             ids, poss, fps = [], [], []
+            lws: list[str] = []
+            rws: list[str] = []
             for iid, t in zip(pdf[id_col], pdf["_t"]):
                 if t is None:
                     continue
@@ -105,9 +121,61 @@ def winnow_fingerprints(
                 ids.extend([iid] * idx.size)
                 poss.extend(idx.tolist())
                 fps.extend(hs[idx].view(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "pos": poss, "fp": fps})
+                if windows:
+                    for p in idx.tolist():
+                        lws.append(t[max(0, p - min_len) : p])
+                        rws.append(t[p : p + min_len])
+            out = {id_col: ids, "pos": poss, "fp": fps}
+            if windows:
+                out["lw"] = lws
+                out["rw"] = rws
+            yield pd.DataFrame(out)
 
     return base.mapInPandas(_gen, schema)
+
+
+def _pad_codes(col, length: int, align_right: bool, fill: int) -> np.ndarray:
+    """(n, length) uint32 codepoint matrix of a string sequence (each
+    string <= length chars), padded with `fill`; one encode call for the
+    whole column (no per-row Python)."""
+    n = len(col)
+    out = np.full((n, length), fill, dtype=np.uint32)
+    if n == 0:
+        return out
+    strs = list(col)
+    lens = np.fromiter(map(len, strs), dtype=np.int64, count=n)
+    codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+    if codes.size == 0:
+        return out
+    starts = np.cumsum(lens) - lens
+    rows = np.repeat(np.arange(n), lens)
+    offs = np.arange(codes.size) - np.repeat(starts, lens)
+    cols = length - np.repeat(lens, lens) + offs if align_right else offs
+    out[rows, cols] = codes
+    return out
+
+
+def _anchor_hits(
+    lw_a, rw_a, lw_b, rw_b, min_len: int
+) -> np.ndarray:
+    """Vectorized anchor-extension test for a batch of aligned anchors:
+    True where common_suffix(lw_a, lw_b) + common_prefix(rw_a, rw_b)
+    >= min_len — exactly _extend_at(...) >= min_len (see
+    winnow_fingerprints docstring for the capping argument).  Distinct
+    fill sentinels per side keep padding from ever comparing equal."""
+    L = min_len
+    la = _pad_codes(lw_a, L, True, 0xFFFF0001)
+    lb = _pad_codes(lw_b, L, True, 0xFFFF0002)
+    neq = la != lb
+    rev = neq[:, ::-1]
+    has = rev.any(axis=1)
+    csuf = np.where(has, rev.argmax(axis=1), L)
+    ra = _pad_codes(rw_a, L, False, 0xFFFF0001)
+    rb = _pad_codes(rw_b, L, False, 0xFFFF0002)
+    neq_r = ra != rb
+    has_r = neq_r.any(axis=1)
+    cpre = np.where(has_r, neq_r.argmax(axis=1), L)
+    return (csuf + cpre) >= L
 
 
 def substring_bucket_stats(
@@ -233,32 +301,57 @@ def substring_pairs(
     substring of length >= min_len; match_len is the exact LCS length from
     the suffix-array verification.
 
-    Two-step verify: a vectorized anchor-extension check first (the
-    winnowing theorem guarantees a shared fingerprint aligned INSIDE any
-    >=min_len common substring, so extension at that anchor recovers it —
-    no recall loss); the exact suffix-array LCS runs only on pairs that
-    pass, so spurious candidates from boilerplate k-grams cost O(k) numpy
-    work instead of O(n log n).  Anchor count per pair is bounded by the
-    winnowing density (~2*len/window), not by pair similarity.
+    Two-step verify, both steps local and vectorized: (1) each aligned
+    anchor is tested with the windowed extension check (_anchor_hits) on
+    the <= 2*min_len chars the fingerprint rows carry — exactly equivalent
+    to extending at the anchor in the full texts (the winnowing theorem
+    guarantees a shared fingerprint aligned INSIDE any >=min_len common
+    substring, so anchor extension has no recall loss); (2) only the
+    DISTINCT pairs with a passing anchor — the true-duplicate-rate
+    fraction of candidates — join the full texts for the exact
+    suffix-array LCS.  Spurious candidates from boilerplate k-grams
+    (measured: 353,918 candidate pairs -> 527 real at sf0.1) therefore
+    never ship a document body through a join and never touch the
+    O(n log n) verify: they cost one vectorized window compare.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, min_len=min_len, k=k)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, min_len=min_len, k=k, windows=True
+    )
 
     sizes = fps.groupBy("fp").agg(F.count("*").alias("bs"))
     fps_ok = fps.join(
         sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "fp"
     )
-    a = fps_ok.select("fp", F.col(id_col).alias("src"), F.col("pos").alias("pos_a"))
-    b = fps_ok.select("fp", F.col(id_col).alias("dst"), F.col("pos").alias("pos_b"))
-    cand = (
+    a = fps_ok.select(
+        "fp",
+        F.col(id_col).alias("src"),
+        F.col("lw").alias("lw_a"),
+        F.col("rw").alias("rw_a"),
+    )
+    b = fps_ok.select(
+        "fp",
+        F.col(id_col).alias("dst"),
+        F.col("lw").alias("lw_b"),
+        F.col("rw").alias("rw_b"),
+    )
+
+    @F.pandas_udf("boolean")
+    def _hit(
+        lw_a: pd.Series, rw_a: pd.Series, lw_b: pd.Series, rw_b: pd.Series
+    ) -> pd.Series:
+        return pd.Series(_anchor_hits(lw_a, rw_a, lw_b, rw_b, min_len))
+
+    hits = (
         a.join(b, "fp")
         .where(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.collect_set(F.struct("pos_a", "pos_b")).alias("anchors"))
+        .where(_hit("lw_a", "rw_a", "lw_b", "rw_b"))
+        .select("src", "dst")
+        .distinct()
     )
 
     texts = df.select(F.col(id_col), _norm_text_col(F.col(text_col)).alias("_t"))
     joined = (
-        cand.join(texts.select(F.col(id_col).alias("src"), F.col("_t").alias("ta")), "src")
+        hits.join(texts.select(F.col(id_col).alias("src"), F.col("_t").alias("ta")), "src")
         .join(texts.select(F.col(id_col).alias("dst"), F.col("_t").alias("tb")), "dst")
     )
     id_t = df.schema[id_col].dataType.simpleString()
@@ -266,20 +359,11 @@ def substring_pairs(
 
     def _verify(batches):
         for pdf in batches:
-            keep_src, keep_dst, lens = [], [], []
-            for s_, d_, ta, tb, anchors in zip(
-                pdf["src"], pdf["dst"], pdf["ta"], pdf["tb"], pdf["anchors"]
-            ):
-                ca = np.frombuffer(ta.encode("utf-32-le"), dtype=np.uint32)
-                cb = np.frombuffer(tb.encode("utf-32-le"), dtype=np.uint32)
-                hit = any(
-                    _extend_at(ca, cb, int(an["pos_a"]), int(an["pos_b"])) >= min_len
-                    for an in anchors
-                )
-                if hit:
-                    keep_src.append(s_)
-                    keep_dst.append(d_)
-                    lens.append(lcs_length(ta, tb))
-            yield pd.DataFrame({"src": keep_src, "dst": keep_dst, "match_len": lens})
+            lens = [
+                lcs_length(ta, tb) for ta, tb in zip(pdf["ta"], pdf["tb"])
+            ]
+            yield pd.DataFrame(
+                {"src": pdf["src"], "dst": pdf["dst"], "match_len": lens}
+            )
 
     return joined.mapInPandas(_verify, schema)

@@ -123,21 +123,47 @@ def cluster_rollup(
     return agg.orderBy(F.desc("cluster_size"), "cluster_id")
 
 
-def run_pipeline_clips(df: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+#: row-count ceiling under which the labels side of the final clips join is
+#: broadcast (~40 B/row in the built hash relation => ~400 MB at the
+#: default).  Above it the join falls back to a shuffle join — at 10^12
+#: rows the real fix is storing the byte table bucketed by clip_id
+#: (Iceberg storage-partitioned join) so the payload side still never
+#: shuffles.  Tune per deployment driver/executor memory.
+BROADCAST_LABEL_ROWS = 10_000_000
+
+
+def run_pipeline_clips(
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    broadcast_label_rows: int | None = BROADCAST_LABEL_ROWS,
+) -> DataFrame:
     """Full clips flow: dedup on (clip_id, transcript) only, then re-join
     cluster labels onto the COMPLETE rows (bytes included) for the final
     output table.
 
     The binary column never enters the dedup plan (pruned at the scan) and
-    touches exactly one join at the end.  At 10^12-clip scale that final
-    join should be shuffle-free on the bytes side: store the source table
-    bucketed/partitioned by clip_id (Iceberg storage-partitioned join) so
-    only the small labels side moves.
+    touches exactly one join at the end.  That join must not shuffle the
+    byte side: the labels frame is materialized (it is id/label/size rows —
+    tiny relative to the payload table) and BROADCAST when its measured row
+    count is under `broadcast_label_rows`, so the payload flows scan ->
+    broadcast-hash-join -> sink with no Exchange (guide §8: every shuffle
+    but the last moves a lightweight proxy; previously Catalyst had no size
+    estimate for the checkpoint-backed labels frame, planned a
+    ShuffledHashJoin, and the whole byte column crossed a shuffle).  Beyond
+    the threshold (or with broadcast_label_rows=None) the shuffle join
+    returns; at 10^12-clip scale store the source bucketed by clip_id
+    (Iceberg storage-partitioned join) so only the labels side moves.
     """
     from ..config import CLIPS
 
     cfg = cfg or CLIPS
     labels = run_pipeline(df.select(cfg.id_col, cfg.text_col), cfg)
+    if broadcast_label_rows:
+        # one row per input id, already computed once here; the count runs
+        # over materialized checkpoint blocks (a metadata-cheap job)
+        labels = labels.localCheckpoint(eager=True)
+        if labels.count() <= broadcast_label_rows:
+            labels = F.broadcast(labels)
     return df.join(labels, cfg.id_col)
 
 

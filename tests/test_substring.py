@@ -143,3 +143,49 @@ def test_bucket_stats_census_and_capped_drop(spark):
         ).collect()
     }
     assert "dropped" not in stats_nocap
+
+
+def test_windowed_anchor_check_matches_extend_at():
+    """The r06 windowed anchor pre-verify (_anchor_hits over the <=min_len
+    windows winnow_fingerprints emits) must agree with the full-text
+    _extend_at(...) >= min_len test on every anchor — including anchors at
+    text boundaries, saturated extensions, and hash-collision-style gram
+    mismatches."""
+    import random
+
+    from lsh_hdc_spark.operators.substring import _anchor_hits, _extend_at
+
+    rng = random.Random(1206)
+    min_len, k = 32, 16
+    cases = []
+    for _ in range(500):
+        n = rng.randint(k, 120)
+        a = "".join(rng.choice("abcd ") for _ in range(n))
+        # derive b by splicing a shared region of random length at random
+        # offsets, so extensions of every size (incl. exactly min_len-1,
+        # min_len) occur
+        share = rng.randint(0, min(n, 80))
+        ai = rng.randint(0, n - share) if share else 0
+        chunk = a[ai : ai + share]
+        m = rng.randint(0, 60)
+        pre = "".join(rng.choice("wxyz") for _ in range(m))
+        post = "".join(rng.choice("wxyz") for _ in range(rng.randint(0, 40)))
+        b = pre + chunk + post
+        # anchor INSIDE the shared chunk when possible, else random
+        if share >= k:
+            off = rng.randint(0, share - k)
+            pa, pb = ai + off, len(pre) + off
+        else:
+            pa = rng.randint(0, max(0, len(a) - k))
+            pb = rng.randint(0, max(0, len(b) - k))
+        cases.append((a, b, pa, pb))
+    lw_a = [a[max(0, pa - min_len) : pa] for a, _, pa, _ in cases]
+    rw_a = [a[pa : pa + min_len] for a, _, pa, _ in cases]
+    lw_b = [b[max(0, pb - min_len) : pb] for _, b, _, pb in cases]
+    rw_b = [b[pb : pb + min_len] for _, b, _, pb in cases]
+    got = _anchor_hits(lw_a, rw_a, lw_b, rw_b, min_len)
+    for i, (a, b, pa, pb) in enumerate(cases):
+        ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        want = _extend_at(ca, cb, pa, pb) >= min_len
+        assert bool(got[i]) == want, (i, a, b, pa, pb)
