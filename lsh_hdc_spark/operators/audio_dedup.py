@@ -218,10 +218,15 @@ def audio_candidate_pairs(
     audio_bucket_census to count what a cap drops (never silently).
     Pass a MATERIALIZED `fps` (audio_dedup_clusters checkpoints it) so
     the byte-scanning fingerprint pass is not re-run per self-join side."""
-    sizes = fps.groupBy("key").agg(F.count("*").alias("n"))
-    small = fps.join(
-        sizes.where((F.col("n") >= 2) & (F.col("n") <= bucket_cap)), "key"
-    ).drop("n")
+    # window-count bucket sizes over one key exchange (see
+    # operators/pairs.py::candidate_pairs)
+    from pyspark.sql import Window
+
+    small = (
+        fps.withColumn("n", F.count("*").over(Window.partitionBy("key")))
+        .where((F.col("n") >= 2) & (F.col("n") <= bucket_cap))
+        .drop("n")
+    )
     a = small.select("key", F.col(id_col).alias("src"))
     b = small.select("key", F.col(id_col).alias("dst"))
     return (

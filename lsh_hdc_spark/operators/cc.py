@@ -151,8 +151,11 @@ def connected_components(
     pinned: list[DataFrame] = []
     if checkpoint:
         # materialize the (small) edge frame once: cuts the upstream plan
-        # out of every round AND gives an exact size for shuffle sizing
-        e = e.localCheckpoint(eager=True)
+        # out of every round AND gives an exact size for shuffle sizing.
+        # LAZY checkpoint + count: the count action materializes the
+        # blocks, so sizing costs one job instead of an eager-materialize
+        # job followed by a count job.
+        e = e.localCheckpoint(eager=False)
         pinned.append(e)
         n_edges = e.count()
         if n_edges == 0:

@@ -224,10 +224,13 @@ def cosine_dup_edges(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
-    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bs"))
-    keyed = keyed.join(
-        sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "bkey"
+    # bucket sizes via a window count over the bkey exchange (one shuffle
+    # + reused partitioning for the self-join) instead of groupBy + join
+    # back — see operators/pairs.py::candidate_pairs
+    keyed = (
+        keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
+        .withColumn("bs", F.count("*").over(Window.partitionBy("bkey")))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
     )
     a = keyed.select("bkey", F.col(id_col).alias("src"))
     b = keyed.select("bkey", F.col(id_col).alias("dst"))
@@ -276,10 +279,11 @@ def ann_topk(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
-    sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bs"))
-    keyed = keyed.join(
-        sizes.where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)), "bkey"
+    # window-count bucket sizes over one bkey exchange (see candidate_pairs)
+    keyed = (
+        keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
+        .withColumn("bs", F.count("*").over(Window.partitionBy("bkey")))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
     )
     a = keyed.select("bkey", F.col(id_col).alias("vec_id"))
     b = keyed.select("bkey", F.col(id_col).alias("neighbor_id"))
@@ -533,10 +537,11 @@ def ann_topk_ivf(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = keyed_rows.select(id_col, F.explode("cids").alias("cid"))
-    sizes = keyed.groupBy("cid").agg(F.count("*").alias("ls"))
-    keyed = keyed.join(
-        sizes.where((F.col("ls") >= 2) & (F.col("ls") <= list_cap)), "cid"
+    # window-count list sizes over one cid exchange (see candidate_pairs)
+    keyed = (
+        keyed_rows.select(id_col, F.explode("cids").alias("cid"))
+        .withColumn("ls", F.count("*").over(Window.partitionBy("cid")))
+        .where((F.col("ls") >= 2) & (F.col("ls") <= list_cap))
     )
     a = keyed.select("cid", F.col(id_col).alias("vec_id"))
     b = keyed.select("cid", F.col(id_col).alias("neighbor_id"))

@@ -70,8 +70,17 @@ def candidate_pairs(signed_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     iid = cfg.id_col
     keys = band_key_rows(signed_df, cfg)
 
-    sizes = keys.groupBy("band_key").agg(F.count("*").alias("bucket_size"))
-    keys = keys.join(sizes.where(F.col("bucket_size") >= 2), "band_key")
+    # bucket_size via a window count over the band-key exchange: the keys
+    # frame is shuffled by band_key exactly ONCE, and the self-join below
+    # reuses that partitioning.  The previous groupBy + join-back shuffled
+    # the keys twice (once into the aggregate, once into the join) and
+    # added two stage barriers per query (guide §2.3/§2.4).  Skew posture
+    # is unchanged: a degenerate band key lands in one partition either
+    # way, the window is count-only (streaming over the sorted run), and
+    # the hot/drop tiers bound what is done with it afterwards.
+    keys = keys.withColumn(
+        "bucket_size", F.count("*").over(Window.partitionBy("band_key"))
+    ).where(F.col("bucket_size") >= 2)
 
     cold = keys.where(F.col("bucket_size") <= cfg.pair_cap).drop("bucket_size")
     hot = keys.where(

@@ -59,11 +59,12 @@ from ..operators.cc import assign_clusters
 from .ingest import (
     SEED_EPOCH,
     StreamIndex,
+    _acquire_rebuild_leases,
     _adopt_labels,
     _pfx,
     _rebuild_tmp,
     _recover_swap,
-    _require_stream_stopped,
+    _release_leases,
     _run_stream,
     _swap_index,
     _write_epoch,
@@ -139,6 +140,19 @@ def _spec_distance(a, b):
     return l1 / tot
 
 
+def _spec_energized(a, b):
+    """Digital-silence guard (ADVICE r5): two all-zero profiles have
+    _spec_distance 0 via the denominator floor, so equal-length silent
+    clips would merge through every sketch path while the batch/in-batch
+    SNR criterion (-inf on zero signal power) never merges them.  Require
+    BOTH profiles to carry energy before a sketch distance may match —
+    silent clips stay singletons on the sketch paths, matching the SNR
+    verify's behavior."""
+    return (F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) > 0) & (
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x) > 0
+    )
+
+
 def _best_audio_match(
     sigs: DataFrame, index: StreamIndex, id_col: str, spec_tol: float
 ) -> DataFrame:
@@ -188,7 +202,10 @@ def _best_audio_match(
             "_nid",
             "_icluster",
             _spec_distance(F.col("_nspec"), F.col("_ispec")).alias("_d"),
-            (F.col("_nn") == F.col("_in")).alias("_len_ok"),
+            (
+                (F.col("_nn") == F.col("_in"))
+                & _spec_energized(F.col("_nspec"), F.col("_ispec"))
+            ).alias("_len_ok"),
         )
         .where(F.col("_len_ok") & (F.col("_d") <= F.lit(spec_tol)))
         .groupBy("_nid", "_icluster")
@@ -295,6 +312,7 @@ def audio_sketch_edges(
         .join(side_b, "dst")
         .where(
             (F.col("_na") == F.col("_nb"))
+            & _spec_energized(F.col("_sa"), F.col("_sb"))
             & (_spec_distance(F.col("_sa"), F.col("_sb")) <= F.lit(spec_tol))
         )
         .select("src", "dst")
@@ -315,35 +333,38 @@ def rebuild_audio_index(
     have merged.  Audio bytes are never re-read: the sketches ARE the
     pipeline input after signing, exactly like the text rebuild running on
     shingles_h.  Crash safety and the stream lease are shared with
-    ingest.rebuild_index (_swap_index / _recover_swap /
-    _require_stream_stopped)."""
-    _require_stream_stopped(index)
-    _recover_swap(index)
-    sigs = (
-        index.read_sigs(spark)
-        .select(id_col, "keys", "spec", "n_samples")
-        .localCheckpoint(eager=True)
-    )
-    edges = audio_sketch_edges(sigs, id_col, bucket_cap, spec_tol)
-    relabeled = assign_clusters(sigs.select(id_col), edges, id_col).select(
-        id_col, "cluster_id"
-    )
-    # clips whose bytes never decoded have a label row (attach labels every
-    # batch row as a singleton) but no sketch row — re-clustering from the
-    # sketch index alone would silently drop them from the output table.
-    # They can never have matched anything, so their old singleton labels
-    # are carried over verbatim.
-    if os.path.exists(index.labels_dir):
-        unsketched = index.read_labels(spark).join(
-            sigs.select(id_col), id_col, "left_anti"
-        ).select(id_col, "cluster_id")
-        relabeled = relabeled.unionByName(unsketched)
-    labels = relabeled.localCheckpoint(eager=True)
-    rows = sigs.join(labels, id_col).select(
-        id_col, "keys", "spec", "n_samples", "cluster_id"
-    ).localCheckpoint(eager=True)
+    ingest.rebuild_index (_swap_index / _recover_swap / the held rebuild
+    lease)."""
+    locks = _acquire_rebuild_leases([index])
+    try:
+        _recover_swap(index)
+        sigs = (
+            index.read_sigs(spark)
+            .select(id_col, "keys", "spec", "n_samples")
+            .localCheckpoint(eager=True)
+        )
+        edges = audio_sketch_edges(sigs, id_col, bucket_cap, spec_tol)
+        relabeled = assign_clusters(sigs.select(id_col), edges, id_col).select(
+            id_col, "cluster_id"
+        )
+        # clips whose bytes never decoded have a label row (attach labels
+        # every batch row as a singleton) but no sketch row — re-clustering
+        # from the sketch index alone would silently drop them from the
+        # output table.  They can never have matched anything, so their old
+        # singleton labels are carried over verbatim.
+        if os.path.exists(index.labels_dir):
+            unsketched = index.read_labels(spark).join(
+                sigs.select(id_col), id_col, "left_anti"
+            ).select(id_col, "cluster_id")
+            relabeled = relabeled.unionByName(unsketched)
+        labels = relabeled.localCheckpoint(eager=True)
+        rows = sigs.join(labels, id_col).select(
+            id_col, "keys", "spec", "n_samples", "cluster_id"
+        ).localCheckpoint(eager=True)
 
-    tmp = _rebuild_tmp(index)
-    write_audio_epoch(rows, tmp, id_col, SEED_EPOCH)
-    _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
-    _swap_index(index, tmp)
+        tmp = _rebuild_tmp(index)
+        write_audio_epoch(rows, tmp, id_col, SEED_EPOCH)
+        _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
+        _swap_index(index, tmp)
+    finally:
+        _release_leases(locks)

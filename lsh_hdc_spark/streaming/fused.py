@@ -62,11 +62,12 @@ from .audio_ingest import (
 from .ingest import (
     SEED_EPOCH,
     StreamIndex,
+    _acquire_rebuild_leases,
     _adopt_labels,
     _best_index_match,
     _rebuild_tmp,
     _recover_swap,
-    _require_stream_stopped,
+    _release_leases,
     _run_stream,
     _swap_index,
     _write_epoch,
@@ -238,8 +239,21 @@ def rebuild_fused_index(
     labels into all five tables — no payload column is ever re-read.
     Merges everything greedy attach stranded, through either modality."""
     iid = cfg.id_col
-    _require_stream_stopped(index.text)
-    _require_stream_stopped(index.audio)
+    locks = _acquire_rebuild_leases([index.text, index.audio])
+    try:
+        _rebuild_fused_locked(spark, cfg, index, bucket_cap, spec_tol)
+    finally:
+        _release_leases(locks)
+
+
+def _rebuild_fused_locked(
+    spark: SparkSession,
+    cfg: DedupConfig,
+    index: FusedStreamIndex,
+    bucket_cap: int,
+    spec_tol: float,
+) -> None:
+    iid = cfg.id_col
     _recover_swap(index.text)
     _recover_swap(index.audio)
     t_sigs = (
@@ -309,5 +323,12 @@ def _swap_audio_only(live: StreamIndex, tmp: StreamIndex) -> None:
             os.rename(lv, old)
         os.rename(nw, lv)
         shutil.rmtree(old, ignore_errors=True)
-    # the staged labels twin is identical to the text half's — drop it
-    shutil.rmtree(tmp.labels_dir, ignore_errors=True)
+    # invariant (ADVICE r5): only _swap_index touches the shared labels
+    # table.  No audio labels twin is ever staged (write_audio_epoch
+    # writes sig/keys only), and the staged shared-labels dir was already
+    # renamed live by the preceding text-half swap — tmp.labels_dir must
+    # not exist here, and this function must never delete it.
+    assert not os.path.exists(tmp.labels_dir), (
+        f"fused swap ordering violated: staged labels {tmp.labels_dir} "
+        "still present during the audio-only half"
+    )

@@ -78,6 +78,9 @@ N_KEY_PARTITIONS = 64
 #: epochs are >= 0)
 SEED_EPOCH = -1
 
+#: keys_dirs confirmed present (see StreamIndex.exists)
+_EXISTS_MEMO: set[str] = set()
+
 
 def _pfx(col):
     return F.pmod(F.xxhash64(col), F.lit(N_KEY_PARTITIONS))
@@ -96,8 +99,15 @@ class StreamIndex:
     keys_dir: str
 
     def exists(self, spark: SparkSession) -> bool:
+        # memoized once true: an index never un-exists while a stream is
+        # attached to it (rebuilds swap directory contents, not presence),
+        # and the per-batch probe was a driver-side file listing + footer
+        # read repeated every micro-batch of a long-running stream
+        if self.keys_dir in _EXISTS_MEMO:
+            return True
         try:
             spark.read.parquet(self.keys_dir).schema
+            _EXISTS_MEMO.add(self.keys_dir)
             return True
         except Exception:
             return False
@@ -355,6 +365,7 @@ def _run_stream(
     the lease and bricked every subsequent rebuild."""
     locks = _acquire_leases(lease_indexes)
     try:
+        _verify_index_health(lease_indexes)
         reader = spark.readStream.schema(schema).parquet(source_dir)
         writer = reader.writeStream.foreachBatch(per_batch).option(
             "checkpointLocation", checkpoint_dir
@@ -423,6 +434,7 @@ def start_attach_stream(
 
     locks = _acquire_leases([index])
     try:
+        _verify_index_health([index])
         q = (
             spark.readStream.schema(schema)
             .parquet(source_dir)
@@ -450,18 +462,58 @@ def start_attach_stream(
     return _Handle
 
 
-def _require_stream_stopped(index: StreamIndex) -> None:
-    """Raise if the active-stream lease is held (VERDICT r4 item 5):
-    rebuilds must never run concurrently with an attach stream."""
-    lock = _lock_path(index)
-    if os.path.exists(lock):
-        with open(lock) as fh:
-            holder = fh.read().strip()
-        raise RuntimeError(
-            f"rebuild: active-stream lease {lock} held (pid {holder}); "
-            "stop the attach stream first (remove the file only if the "
-            "holder is confirmed dead)"
-        )
+def _acquire_rebuild_leases(indexes) -> list[str]:
+    """Hold the stream lease(s) for the FULL duration of a rebuild
+    (ADVICE r5): the previous entry-time existence check was one-way —
+    an attach stream starting mid-rebuild would acquire the lease
+    successfully, append epochs, and have them silently discarded when
+    the rebuild swapped in tables built from its pre-stream snapshot;
+    two concurrent rebuilds were likewise unfenced.  Taking the same
+    O_EXCL lease file turns the TOCTOU check into mutual exclusion:
+    attach-vs-rebuild and rebuild-vs-rebuild now both fail fast, in
+    either order.  Raises with the held holder's pid, exactly like the
+    old check; callers release in a finally."""
+    locks: list[str] = []
+    try:
+        for ix in indexes:
+            lock = _lock_path(ix)
+            os.makedirs(os.path.dirname(lock) or ".", exist_ok=True)
+            try:
+                with open(lock, "x") as fh:
+                    fh.write(f"{os.getpid()} rebuild")
+            except FileExistsError:
+                with open(lock) as fh:
+                    holder = fh.read().strip()
+                raise RuntimeError(
+                    f"rebuild: active-stream lease {lock} held (pid "
+                    f"{holder}); stop the attach stream first (remove the "
+                    "file only if the holder is confirmed dead)"
+                ) from None
+            locks.append(lock)
+    except BaseException:
+        _release_leases(locks)
+        raise
+    return locks
+
+
+def _verify_index_health(indexes) -> None:
+    """Complete any interrupted rebuild swap, then fail loudly on a
+    half-present index (ADVICE r5): a crash mid-swap could previously
+    leave e.g. fresh sig/labels next to pre-rebuild keys, and an attach
+    stream (which never ran _recover_swap) would silently adopt cluster
+    labels that no longer exist in the labels table.  The labels table is
+    deliberately NOT part of the presence check: it is legitimately
+    absent on a fresh index and shared across fused sub-indexes."""
+    for ix in indexes:
+        _recover_swap(ix)
+        present = {
+            d: os.path.exists(d) for d in (ix.sig_dir, ix.keys_dir)
+        }
+        if any(present.values()) and not all(present.values()):
+            raise RuntimeError(
+                "attach: index tables partially present even after swap "
+                f"recovery: {present}; refusing to attach to a mixed index"
+            )
 
 
 def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> None:
@@ -479,40 +531,48 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
     interrupted swap from the surviving .rebuild/.old directory, so
     re-running rebuild after ANY crash point converges.  Production: one
     atomic Iceberg REPLACE commit across the three tables.
-    Must run while the stream is stopped — enforced: raises RuntimeError
-    if the active-stream lease (_lock_path) exists."""
-    _require_stream_stopped(index)
-    _recover_swap(index)
-    iid = cfg.id_col
-    sigs = (
-        index.read_sigs(spark)
-        .select(iid, "shingles_h", "sketch", "band_keys")
-        .localCheckpoint(eager=True)
-    )
-    edges = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg).select("src", "dst")
-    relabeled = assign_clusters(sigs.select(iid), edges, iid).select(
-        iid, "cluster_id"
-    )
-    # label-table invariant (same guard as the audio/fused rebuilds): any
-    # labeled id absent from the signature table keeps its old label
-    # verbatim instead of silently vanishing from the swapped-in table —
-    # signed() emits a row per input row today, but the invariant to
-    # uphold is the label table's, not the signer's.  (An index may have
-    # sig/key epochs but no labels table yet — nothing to carry then.)
-    if os.path.exists(index.labels_dir):
-        unsigned = index.read_labels(spark).join(
-            sigs.select(iid), iid, "left_anti"
-        ).select(iid, "cluster_id")
-        relabeled = relabeled.unionByName(unsigned)
-    labels = relabeled.localCheckpoint(eager=True)
-    rows = sigs.join(labels, iid).select(
-        iid, "shingles_h", "sketch", "band_keys", "cluster_id"
-    ).localCheckpoint(eager=True)
+    Must run while the stream is stopped — enforced: the rebuild HOLDS
+    the active-stream lease for its whole duration (raises RuntimeError
+    if it is already held), so an attach stream cannot start mid-rebuild
+    and a second rebuild cannot interleave."""
+    locks = _acquire_rebuild_leases([index])
+    try:
+        _recover_swap(index)
+        iid = cfg.id_col
+        sigs = (
+            index.read_sigs(spark)
+            .select(iid, "shingles_h", "sketch", "band_keys")
+            .localCheckpoint(eager=True)
+        )
+        edges = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg).select(
+            "src", "dst"
+        )
+        relabeled = assign_clusters(sigs.select(iid), edges, iid).select(
+            iid, "cluster_id"
+        )
+        # label-table invariant (same guard as the audio/fused rebuilds):
+        # any labeled id absent from the signature table keeps its old
+        # label verbatim instead of silently vanishing from the swapped-in
+        # table — signed() emits a row per input row today, but the
+        # invariant to uphold is the label table's, not the signer's.  (An
+        # index may have sig/key epochs but no labels table yet — nothing
+        # to carry then.)
+        if os.path.exists(index.labels_dir):
+            unsigned = index.read_labels(spark).join(
+                sigs.select(iid), iid, "left_anti"
+            ).select(iid, "cluster_id")
+            relabeled = relabeled.unionByName(unsigned)
+        labels = relabeled.localCheckpoint(eager=True)
+        rows = sigs.join(labels, iid).select(
+            iid, "shingles_h", "sketch", "band_keys", "cluster_id"
+        ).localCheckpoint(eager=True)
 
-    tmp = _rebuild_tmp(index)
-    write_index_epoch(rows, tmp, iid, SEED_EPOCH)
-    _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
-    _swap_index(index, tmp)
+        tmp = _rebuild_tmp(index)
+        write_index_epoch(rows, tmp, iid, SEED_EPOCH)
+        _write_epoch(labels, tmp.labels_dir, SEED_EPOCH, ["epoch"])
+        _swap_index(index, tmp)
+    finally:
+        _release_leases(locks)
 
 
 def _rebuild_tmp(index: StreamIndex) -> StreamIndex:
