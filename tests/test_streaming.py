@@ -415,3 +415,60 @@ def test_text_rebuild_preserves_unsigned_labels(spark, index):
     }
     assert got[999] == 999, "unsigned label must survive compaction"
     assert len(got) == 4  # 3 seeded + the ghost
+
+
+def test_rebuild_lease_blocks_attach_and_second_rebuild(tmp_path):
+    """ADVICE r5: rebuilds must HOLD the lease, not just check it — an
+    attach stream acquiring the lease mid-rebuild would have its epochs
+    silently discarded by the swap.  Both directions and rebuild-vs-
+    rebuild must fail fast."""
+    import os
+
+    from lsh_hdc_spark.streaming.ingest import (
+        StreamIndex,
+        _acquire_leases,
+        _acquire_rebuild_leases,
+        _lock_path,
+        _release_leases,
+    )
+
+    ix = StreamIndex(
+        str(tmp_path / "sig"), str(tmp_path / "labels"), str(tmp_path / "keys")
+    )
+    # rebuild holds -> attach refused
+    locks = _acquire_rebuild_leases([ix])
+    with pytest.raises(RuntimeError, match="already held"):
+        _acquire_leases([ix])
+    # rebuild holds -> second rebuild refused
+    with pytest.raises(RuntimeError, match="active-stream lease"):
+        _acquire_rebuild_leases([ix])
+    _release_leases(locks)
+    # attach holds -> rebuild refused (the original direction)
+    locks = _acquire_leases([ix])
+    with pytest.raises(RuntimeError, match="active-stream lease"):
+        _acquire_rebuild_leases([ix])
+    _release_leases(locks)
+    assert not os.path.exists(_lock_path(ix))
+
+
+def test_attach_refuses_partially_present_index(tmp_path):
+    """ADVICE r5: after swap recovery, a sig-without-keys (or keys-
+    without-sig) index must refuse attach instead of adopting labels
+    that no longer exist; a fully-absent or fully-present index passes."""
+    import os
+
+    from lsh_hdc_spark.streaming.ingest import StreamIndex, _verify_index_health
+
+    ix = StreamIndex(
+        str(tmp_path / "sig"), str(tmp_path / "labels"), str(tmp_path / "keys")
+    )
+    _verify_index_health([ix])  # fresh index: fine
+    os.makedirs(ix.sig_dir)
+    with pytest.raises(RuntimeError, match="partially present"):
+        _verify_index_health([ix])
+    os.makedirs(ix.keys_dir)
+    _verify_index_health([ix])  # both present: fine
+    # an interrupted swap (live missing, .rebuild staged) is healed first
+    os.rename(ix.keys_dir, ix.keys_dir + ".rebuild")
+    _verify_index_health([ix])
+    assert os.path.exists(ix.keys_dir)
