@@ -159,9 +159,10 @@ def run_pipeline_clips(
     cfg = cfg or CLIPS
     labels = run_pipeline(df.select(cfg.id_col, cfg.text_col), cfg)
     if broadcast_label_rows:
-        # one row per input id, already computed once here; the count runs
-        # over materialized checkpoint blocks (a metadata-cheap job)
-        labels = labels.localCheckpoint(eager=True)
+        # one row per input id, already computed once here; lazy checkpoint
+        # + count materializes the blocks and sizes them in one pass (the
+        # AQE stages execute at the localCheckpoint call either way)
+        labels = labels.localCheckpoint(eager=False)
         if labels.count() <= broadcast_label_rows:
             labels = F.broadcast(labels)
     return df.join(labels, cfg.id_col)
