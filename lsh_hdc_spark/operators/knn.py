@@ -224,13 +224,14 @@ def cosine_dup_edges(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    # bucket sizes via a window count over the bkey exchange (one shuffle
-    # + reused partitioning for the self-join) instead of groupBy + join
-    # back — see operators/pairs.py::candidate_pairs
+    # bucket sizes via a window count over the bkey exchange, pinned so
+    # both self-join sides read one materialization with the partitioning
+    # preserved — see operators/pairs.py::candidate_pairs
     keyed = (
         keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
         .withColumn("bs", F.count("*").over(Window.partitionBy("bkey")))
         .where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
+        .localCheckpoint(eager=False)
     )
     a = keyed.select("bkey", F.col(id_col).alias("src"))
     b = keyed.select("bkey", F.col(id_col).alias("dst"))
@@ -279,11 +280,13 @@ def ann_topk(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    # window-count bucket sizes over one bkey exchange (see candidate_pairs)
+    # window-count bucket sizes over one bkey exchange, pinned for both
+    # self-join sides (see candidate_pairs)
     keyed = (
         keyed_rows.select(id_col, F.explode("bkeys").alias("bkey"))
         .withColumn("bs", F.count("*").over(Window.partitionBy("bkey")))
         .where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
+        .localCheckpoint(eager=False)
     )
     a = keyed.select("bkey", F.col(id_col).alias("vec_id"))
     b = keyed.select("bkey", F.col(id_col).alias("neighbor_id"))
@@ -537,11 +540,13 @@ def ann_topk_ivf(
     from pyspark.storagelevel import StorageLevel
 
     keyed_rows = keyed_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    # window-count list sizes over one cid exchange (see candidate_pairs)
+    # window-count list sizes over one cid exchange, pinned for both
+    # self-join sides (see candidate_pairs)
     keyed = (
         keyed_rows.select(id_col, F.explode("cids").alias("cid"))
         .withColumn("ls", F.count("*").over(Window.partitionBy("cid")))
         .where((F.col("ls") >= 2) & (F.col("ls") <= list_cap))
+        .localCheckpoint(eager=False)
     )
     a = keyed.select("cid", F.col(id_col).alias("vec_id"))
     b = keyed.select("cid", F.col(id_col).alias("neighbor_id"))

@@ -78,9 +78,24 @@ def candidate_pairs(signed_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     # is unchanged: a degenerate band key lands in one partition either
     # way, the window is count-only (streaming over the sorted run), and
     # the hot/drop tiers bound what is done with it afterwards.
-    keys = keys.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("band_key"))
-    ).where(F.col("bucket_size") >= 2)
+    #
+    # The sized frame is then PINNED: it feeds both self-join sides and
+    # the salted hot path, and DataFrame self-references re-evaluate their
+    # subtree (runtime-verified: zero ReusedExchange, the explode+window
+    # chain executed 3x).  localCheckpoint preserves the band_key hash
+    # partitioning on 4.1.2, so the downstream joins/aggregations read the
+    # materialized blocks with NO further exchange — measured 2.1x on the
+    # 20k-clip label pipeline (construct 5.1-6.4 s -> 2.9-3.0 s).  At
+    # corpus scale this trades 2+ extra shuffles of the keys table for
+    # one local materialization + reads — the substring/audio fingerprint
+    # pinning discipline (PLANS.md §9).
+    keys = (
+        keys.withColumn(
+            "bucket_size", F.count("*").over(Window.partitionBy("band_key"))
+        )
+        .where(F.col("bucket_size") >= 2)
+        .localCheckpoint(eager=False)
+    )
 
     cold = keys.where(F.col("bucket_size") <= cfg.pair_cap).drop("bucket_size")
     hot = keys.where(

@@ -314,24 +314,26 @@ def substring_pairs(
     never ship a document body through a join and never touch the
     O(n log n) verify: they cost one vectorized window compare.
     """
-    # materialize the fingerprint frame once: it is referenced by the
-    # bucket-size aggregate AND both self-join sides, and DataFrame
+    # One winnowing pass, one fp exchange, one pinned frame: the sized
+    # fingerprint frame feeds BOTH self-join sides, and DataFrame
     # self-references re-evaluate their subtree — without pinning, the
     # winnowing Arrow pass over every document ran two extra times
-    # (measured 0.85 s/pass at sf0.1).  ~115 B/row (id, pos, fp, two
-    # windows); at corpus scale this is the frame production spills to a
-    # temp table, the audio path's audio_fingerprints discipline.
-    fps = winnow_fingerprints(
-        df, id_col, text_col, min_len=min_len, k=k, windows=True
-    ).localCheckpoint(eager=True)
-
-    # window-count bucket sizes over one fp exchange (see
-    # operators/pairs.py::candidate_pairs)
+    # (measured 0.85 s/pass at sf0.1).  Pinning AFTER the window-count
+    # filter (see operators/pairs.py::candidate_pairs) also preserves the
+    # fp hash partitioning, so the pair self-join adds no exchange.
+    # ~115 B/row (id, pos, fp, two windows); at corpus scale this is the
+    # frame production spills to a temp table, the audio path's
+    # audio_fingerprints discipline.
     from pyspark.sql import Window
 
-    fps_ok = fps.withColumn(
-        "bs", F.count("*").over(Window.partitionBy("fp"))
-    ).where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
+    fps = winnow_fingerprints(
+        df, id_col, text_col, min_len=min_len, k=k, windows=True
+    )
+    fps_ok = (
+        fps.withColumn("bs", F.count("*").over(Window.partitionBy("fp")))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= bucket_cap))
+        .localCheckpoint(eager=False)
+    )
     a = fps_ok.select(
         "fp",
         F.col(id_col).alias("src"),
