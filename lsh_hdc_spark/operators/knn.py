@@ -220,6 +220,10 @@ def cosine_dup_edges(
     ~1); production tunes bands/bits per the collision curve and audits
     drops via ann_bucket_stats.  Feed the result to connected_components
     for embedding-dedup clusters."""
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run under a right-sized cloned session (micro.py)
+    df, _ = micro_rebound(df)
     keyed_rows = _keyed_rows(df, id_col, vec_col, n_bits, bands, seed)
     from pyspark.storagelevel import StorageLevel
 
@@ -276,6 +280,10 @@ def ann_topk(
     COUNT what that guard excluded; drops must never go unreported.  Unit
     vectors are joined back AFTER the distinct candidate-id set is formed,
     so the band-key shuffles move only (id, key) rows."""
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run under a right-sized cloned session (micro.py)
+    df, _ = micro_rebound(df)
     keyed_rows = _keyed_rows(df, id_col, vec_col, n_bits, bands, seed)
     from pyspark.storagelevel import StorageLevel
 

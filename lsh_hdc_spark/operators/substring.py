@@ -326,6 +326,12 @@ def substring_pairs(
     # audio_fingerprints discipline.
     from pyspark.sql import Window
 
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run the whole pass under a right-sized cloned
+    # session (see micro.py); deployment-sized inputs are untouched
+    df, _ = micro_rebound(df)
+
     fps = winnow_fingerprints(
         df, id_col, text_col, min_len=min_len, k=k, windows=True
     )

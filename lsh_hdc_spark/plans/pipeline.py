@@ -23,7 +23,8 @@ from pyspark.storagelevel import StorageLevel
 
 from ..config import DedupConfig
 from ..functions.sign import signed
-from ..operators.cc import assign_clusters
+from ..micro import micro_rebound
+from ..operators.cc import _rebind, assign_clusters
 from ..operators.pairs import band_key_rows, bucket_stats, candidate_pairs, verify_pairs
 
 
@@ -55,7 +56,24 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     reach signing (the filter is pushed into the scan by Catalyst) and
     come back with NULL cluster_id/cluster_size.
     """
+    return _labels_with_state(df, cfg)[0]
+
+
+def _labels_with_state(df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, bool]:
+    """Core of run_pipeline: (labels, materialized?).
+
+    Dust-sized inputs run the whole sign -> pairs -> verify -> CC -> label
+    chain under a right-sized cloned session (micro_rebound): the chain is
+    ~10 exchanges of id-sized rows, so at micro scale its wall clock is
+    per-task fixed cost times the partition count, not data.  The labels
+    are then materialized under that sizing and handed back to the
+    caller's session zero-copy (the same checkpoint+_rebind handoff CC
+    itself uses); `materialized` tells callers the frame is already
+    checkpoint-backed so they can skip their own pin-and-count pass.
+    """
+    caller = df.sparkSession
     base = df.filter(F.expr(cfg.content_filter)) if cfg.content_filter else df
+    base, micro = micro_rebound(base)
     edges, s = _edges_with_persisted(base, cfg)
     edges = edges.select("src", "dst")
     if cfg.substring_min_len:
@@ -70,10 +88,13 @@ def run_pipeline(df: DataFrame, cfg: DedupConfig) -> DataFrame:
     # pinned signed frame can be released instead of living for the session
     labels = assign_clusters(base, edges, cfg.id_col, cfg.min_support)
     s.unpersist()
+    if micro:
+        labels = _rebind(labels.localCheckpoint(eager=True), caller)
     if cfg.content_filter:
         # excluded rows are part of the OUTPUT but not of any cluster
         labels = df.select(cfg.id_col).join(labels, cfg.id_col, "left")
-    return labels
+        return labels, False
+    return labels, micro
 
 
 #: salt fanout for the two-phase member cap — a degenerate mega-cluster is
@@ -157,12 +178,17 @@ def run_pipeline_clips(
     from ..config import CLIPS
 
     cfg = cfg or CLIPS
-    labels = run_pipeline(df.select(cfg.id_col, cfg.text_col), cfg)
+    labels, materialized = _labels_with_state(
+        df.select(cfg.id_col, cfg.text_col), cfg
+    )
     if broadcast_label_rows:
         # one row per input id, already computed once here; lazy checkpoint
         # + count materializes the blocks and sizes them in one pass (the
-        # AQE stages execute at the localCheckpoint call either way)
-        labels = labels.localCheckpoint(eager=False)
+        # AQE stages execute at the localCheckpoint call either way).  The
+        # micro path hands the frame back already checkpoint-backed, so
+        # only the count remains.
+        if not materialized:
+            labels = labels.localCheckpoint(eager=False)
         if labels.count() <= broadcast_label_rows:
             labels = F.broadcast(labels)
     return df.join(labels, cfg.id_col)
