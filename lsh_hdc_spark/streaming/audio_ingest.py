@@ -55,7 +55,8 @@ from ..operators.audio_dedup import (
     audio_signatures,
     audio_verify_pairs,
 )
-from ..operators.cc import assign_clusters
+from ..micro import micro_rebound
+from ..operators.cc import _rebind, assign_clusters
 from .ingest import (
     SEED_EPOCH,
     StreamIndex,
@@ -233,8 +234,16 @@ def attach_audio_batch(
     The batch's byte column is scanned exactly twice (the signature pass
     and the in-batch SNR verify's candidate fetch); the index contributes
     sketches only."""
-    spark = batch.sparkSession
+    caller = batch.sparkSession
     sigs = audio_signatures(batch, id_col).localCheckpoint(eager=True)
+    # right-size the per-batch work (micro.py; same handoff discipline as
+    # ingest.attach_batch — outputs are rebound to the caller below).  The
+    # batch frame follows so the SNR verify's byte re-scan and the sketch
+    # joins share one session.
+    sigs, micro = micro_rebound(sigs)
+    spark = sigs.sparkSession
+    if micro:
+        batch = _rebind(batch, spark)
 
     # in-batch clustering (novel duplicate groups arriving together):
     # bucket pairs from the already-computed keys, strong SNR verify on
@@ -256,6 +265,9 @@ def attach_audio_batch(
     new_rows = sigs.join(labels, id_col).select(
         id_col, "keys", "spec", "n_samples", "cluster_id"
     )
+    if micro:
+        labels = _rebind(labels, caller)
+        new_rows = _rebind(new_rows, caller)
     return labels, new_rows
 
 
@@ -338,11 +350,13 @@ def rebuild_audio_index(
     locks = _acquire_rebuild_leases([index])
     try:
         _recover_swap(index)
-        sigs = (
-            index.read_sigs(spark)
-            .select(id_col, "keys", "spec", "n_samples")
-            .localCheckpoint(eager=True)
+        # right-size to the accumulated index's estimated size (micro.py);
+        # the rebuild only writes, so nothing is rebound back
+        sigs_src, _ = micro_rebound(
+            index.read_sigs(spark).select(id_col, "keys", "spec", "n_samples")
         )
+        spark = sigs_src.sparkSession
+        sigs = sigs_src.localCheckpoint(eager=True)
         edges = audio_sketch_edges(sigs, id_col, bucket_cap, spec_tol)
         relabeled = assign_clusters(sigs.select(id_col), edges, id_col).select(
             id_col, "cluster_id"

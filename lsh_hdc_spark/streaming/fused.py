@@ -50,7 +50,8 @@ from ..operators.audio_dedup import (
     audio_signatures,
     audio_verify_pairs,
 )
-from ..operators.cc import assign_clusters
+from ..micro import micro_rebound
+from ..operators.cc import _rebind, assign_clusters
 from ..operators.pairs import candidate_pairs, verify_pairs
 from .audio_ingest import (
     MIN_SNR_DB,
@@ -156,9 +157,16 @@ def attach_fused_batch(
     outside a stream and reusable from foreachBatch.  The batch's byte
     column is scanned by the audio signature pass and the in-batch SNR
     verify only; neither index contributes anything heavier than sketches."""
-    spark = batch.sparkSession
+    caller = batch.sparkSession
     iid = cfg.id_col
     s_text = signed(batch, cfg).localCheckpoint(eager=True)
+    # right-size the per-batch work (micro.py; same handoff discipline as
+    # ingest.attach_batch — outputs are rebound to the caller below); the
+    # batch and both signature frames share one session
+    s_text, micro = micro_rebound(s_text)
+    spark = s_text.sparkSession
+    if micro:
+        batch = _rebind(batch, spark)
     s_audio = audio_signatures(batch, iid).localCheckpoint(eager=True)
 
     # in-batch clustering over the UNION edge set (novel dup groups
@@ -195,6 +203,10 @@ def attach_fused_batch(
     audio_rows = s_audio.join(labels, iid).select(
         iid, "keys", "spec", "n_samples", "cluster_id"
     )
+    if micro:
+        labels = _rebind(labels, caller)
+        text_rows = _rebind(text_rows, caller)
+        audio_rows = _rebind(audio_rows, caller)
     return labels, text_rows, audio_rows
 
 
@@ -256,11 +268,14 @@ def _rebuild_fused_locked(
     iid = cfg.id_col
     _recover_swap(index.text)
     _recover_swap(index.audio)
-    t_sigs = (
-        index.text.read_sigs(spark)
-        .select(iid, "shingles_h", "sketch", "band_keys")
-        .localCheckpoint(eager=True)
+    # right-size to the accumulated text index's estimated size (micro.py;
+    # the audio sketch table is the same corpus, smaller rows) — the
+    # rebuild only writes, so nothing is rebound back
+    t_src, _ = micro_rebound(
+        index.text.read_sigs(spark).select(iid, "shingles_h", "sketch", "band_keys")
     )
+    spark = t_src.sparkSession
+    t_sigs = t_src.localCheckpoint(eager=True)
     a_sigs = (
         index.audio.read_sigs(spark)
         .select(iid, "keys", "spec", "n_samples")

@@ -66,7 +66,8 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 from ..functions.sign import signed
-from ..operators.cc import assign_clusters
+from ..micro import micro_rebound
+from ..operators.cc import _rebind, assign_clusters
 from ..operators.pairs import candidate_pairs, verify_pairs
 
 #: band-key hash-partition fanout for keys_dir (plain-parquet stand-in for
@@ -253,7 +254,7 @@ def attach_batch(
     is the batch's signature rows (with final labels) to append to the
     index.  Pure batch-DataFrame logic so it is unit-testable outside a
     stream and reusable from foreachBatch."""
-    spark = batch.sparkSession
+    caller = batch.sparkSession
     iid = cfg.id_col
     # localCheckpoint (not persist): the signed frame is read by the verify
     # joins, the index match, and the index append; eager materialization
@@ -261,10 +262,20 @@ def attach_batch(
     # when the batch's frames go out of scope — no per-batch unpersist
     # bookkeeping to leak across a long-running stream
     s_new = signed(batch, cfg).localCheckpoint(eager=True)
+    # a micro-batch is dust relative to the stream session's deployment-
+    # sized shuffle conf — right-size the per-batch work (micro.py; the
+    # checkpointed frame carries its upstream size estimate, and an
+    # estimate-free source falls back to the session untouched).  The
+    # returned frames are handed back to the caller's session below, so
+    # the sinks and the foreachBatch contract see nothing micro.
+    s_new, micro = micro_rebound(s_new)
+    spark = s_new.sparkSession
 
-    # in-batch clustering (novel duplicate groups arriving together)
+    # in-batch clustering (novel duplicate groups arriving together);
+    # ids from the signed frame — signed() emits one row per input row
+    # (the rebuild path already relies on this invariant)
     edges = verify_pairs(candidate_pairs(s_new, cfg), s_new, cfg).select("src", "dst")
-    local = assign_clusters(batch.select(iid), edges, iid).select(
+    local = assign_clusters(s_new.select(iid), edges, iid).select(
         iid, F.col("cluster_id").alias("local_cluster")
     )
 
@@ -279,6 +290,9 @@ def attach_batch(
     new_rows = s_new.join(labels, iid).select(
         iid, "shingles_h", "sketch", "band_keys", "cluster_id"
     )
+    if micro:
+        labels = _rebind(labels, caller)
+        new_rows = _rebind(new_rows, caller)
     return labels, new_rows
 
 
@@ -539,11 +553,14 @@ def rebuild_index(spark: SparkSession, cfg: DedupConfig, index: StreamIndex) -> 
     try:
         _recover_swap(index)
         iid = cfg.id_col
-        sigs = (
-            index.read_sigs(spark)
-            .select(iid, "shingles_h", "sketch", "band_keys")
-            .localCheckpoint(eager=True)
+        # right-size the rebuild to the accumulated index's estimated size
+        # (micro.py) — a deployment-scale index keeps the session conf; the
+        # rebuild only writes, so nothing is rebound back
+        sigs_src, _ = micro_rebound(
+            index.read_sigs(spark).select(iid, "shingles_h", "sketch", "band_keys")
         )
+        spark = sigs_src.sparkSession
+        sigs = sigs_src.localCheckpoint(eager=True)
         edges = verify_pairs(candidate_pairs(sigs, cfg), sigs, cfg).select(
             "src", "dst"
         )

@@ -92,6 +92,55 @@ def test_substring_pairs_rows_invariant_under_micro(spark, wide):
     assert _rows(small) == _rows(big)
 
 
+def test_streaming_attach_rebuild_invariant_under_micro(spark, wide, tmp_path):
+    """attach_batch + rebuild_index produce identical labels under a wide
+    (micro-active) session and the pytest (micro-inactive) session; the
+    micro path hands caller-session frames back to the epoch sinks."""
+    from lsh_hdc_spark.streaming import (
+        StreamIndex,
+        attach_batch,
+        rebuild_index,
+        write_index_epoch,
+    )
+
+    cfg = DedupConfig()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely unrelated text about distributed stream processing"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (5, "another unrelated sentence mentioning tensor compiler runtimes"),
+    ]
+    schema = "doc_id long, text string"
+    out = {}
+    for tag, sess in (("small", spark), ("wide", wide)):
+        base = tmp_path / tag
+        index = StreamIndex(
+            str(base / "sig"), str(base / "labels"), str(base / "keys")
+        )
+        labels_all = []
+        for k in range(2):
+            b = sess.createDataFrame(
+                [r for i, r in enumerate(rows) if i % 2 == k], schema
+            )
+            labels, new_rows = attach_batch(b, cfg, index)
+            # outputs must belong to the CALLER's session (sink contract)
+            assert labels.sparkSession is sess
+            assert new_rows.sparkSession is sess
+            write_index_epoch(new_rows, index, cfg.id_col, epoch=k)
+            labels_all.extend(
+                (r.doc_id, r.cluster_id) for r in labels.collect()
+            )
+        out[tag, "attach"] = sorted(labels_all)
+        rebuild_index(sess, cfg, index)
+        out[tag, "rebuild"] = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in sess.read.parquet(index.labels_dir).collect()
+        )
+    assert out["small", "attach"] == out["wide", "attach"]
+    assert out["small", "rebuild"] == out["wide", "rebuild"]
+
+
 def test_ann_paths_rows_invariant_under_micro(spark, wide):
     from lsh_hdc_spark.operators.knn import ann_topk, cosine_dup_edges
 
