@@ -341,6 +341,10 @@ def audio_dedup_edges(
 ) -> DataFrame:
     """(src, dst, snr_db) verified audio near-dup edges — the audio-axis
     twin of plans.pipeline.dedup_edges."""
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run under a right-sized cloned session (micro.py)
+    clips, _ = micro_rebound(clips)
     fps = audio_fingerprints(clips, id_col).localCheckpoint(eager=True)
     pairs = audio_candidate_pairs(fps, id_col, bucket_cap)
     return audio_verify_pairs(clips, pairs, id_col, min_snr_db)
@@ -363,9 +367,12 @@ def fused_dedup_clusters(
     mis-transcribed clips with identical audio (audio edge, no text
     edge).  Both union sides shuffle (src, dst) ids only."""
     from ..config import CLIPS
+    from ..micro import micro_rebound
     from ..plans.pipeline import _edges_with_persisted
 
     cfg = cfg or CLIPS
+    # one micro session covers BOTH modalities' edge passes and the CC
+    clips, _ = micro_rebound(clips)
     text_edges, s = _edges_with_persisted(clips, cfg)
     audio_edges = audio_dedup_edges(clips, cfg.id_col, min_snr_db, bucket_cap)
     edges = (
@@ -389,6 +396,10 @@ def audio_dedup_clusters(
     fingerprint -> bucket pairs -> SNR verify -> connected components.
     Every input row is labeled; non-duplicates are singleton clusters of
     themselves (the text pipeline's labeling convention)."""
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run under a right-sized cloned session (micro.py)
+    clips, _ = micro_rebound(clips)
     # materialize the fingerprints once: ids+keys only (tiny vs bytes);
     # the candidate self-join and the census would otherwise re-run the
     # byte-scanning Arrow pass per reference

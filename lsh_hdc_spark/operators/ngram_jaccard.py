@@ -41,6 +41,12 @@ def exact_jaccard_pairs(
     Jaccard >= threshold (default: cfg.resolved_jaccard_threshold)."""
     t = cfg.resolved_jaccard_threshold if threshold is None else threshold
     iid = cfg.id_col
+    from ..micro import micro_rebound
+
+    # dust-sized corpora run under a right-sized cloned session (micro.py);
+    # this path is oracle-duty (exact all-pairs), so it is exercised at
+    # small scale far more often than the banded pipeline
+    df, _ = micro_rebound(df)
     sh = shingle_rows(df, cfg)
 
     if df_cap is not None:

@@ -92,6 +92,25 @@ def test_substring_pairs_rows_invariant_under_micro(spark, wide):
     assert _rows(small) == _rows(big)
 
 
+def test_exact_jaccard_and_audio_rows_invariant_under_micro(spark, wide):
+    from lsh_hdc_spark.operators.audio_dedup import audio_dedup_clusters
+    from lsh_hdc_spark.operators.ngram_jaccard import exact_jaccard_pairs
+    from lsh_hdc_spark.sources.clips import synth_clips
+
+    cfg = DedupConfig()
+    small = exact_jaccard_pairs(
+        spark.read.parquet(f"{SF}/documents.parquet"), cfg, threshold=0.4
+    ).withColumn("jaccard", F.round("jaccard", 9))
+    big = exact_jaccard_pairs(
+        wide.read.parquet(f"{SF}/documents.parquet"), cfg, threshold=0.4
+    ).withColumn("jaccard", F.round("jaccard", 9))
+    assert _rows(small) == _rows(big)
+
+    cs = synth_clips(spark, 300, seed=7)
+    cw = synth_clips(wide, 300, seed=7)
+    assert _rows(audio_dedup_clusters(cs)) == _rows(audio_dedup_clusters(cw))
+
+
 def test_streaming_attach_rebuild_invariant_under_micro(spark, wide, tmp_path):
     """attach_batch + rebuild_index produce identical labels under a wide
     (micro-active) session and the pytest (micro-inactive) session; the
